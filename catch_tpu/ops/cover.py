@@ -1,0 +1,477 @@
+"""TPU-native probe cover engine ("the forward pass").
+
+Replaces the reference's hash-map seeding + per-candidate anchored-LCS
+scan (/root/reference/catch/probe.py:356-1271 and
+/root/reference/catch/utils/longest_common_substring.py:59-158) with a
+two-phase dense design:
+
+Phase 1 (device, MXU): for a tile of (alignment x probe) pairs, compute
+the number of matching bases between each probe and the target sequence
+at each alignment via a one-hot einsum ('wla,pla->wp').  A pair is a
+*candidate* iff its match count is >= max(thres' - mismatches, k_seed)
+and its overlap admits a window of length thres' (necessary conditions
+for any qualifying window).  Candidates are extracted on device with a
+static-size nonzero and streamed to the host.
+
+Phase 2 (host, vectorized numpy): for each candidate alignment, build
+the exact match vector and enumerate all *maximal* windows with
+<= mismatches mismatches: with sentinel-padded sorted mismatch
+positions P (P[0] = -1, P[nm+1] = ov), maximal windows are
+(P[t], P[t+K+1]) exclusive.  A window qualifies iff its length is
+>= thres' and it contains a run of >= max(k_seed, island) consecutive
+matches (the run is simultaneously the shared-k-mer seed the reference
+requires and the exact-match island).  Qualifying windows are emitted as
+cover ranges and merged per probe.
+
+Seeding semantics: the reference requires a shared k-mer drawn from a
+k-mer->probe map that is either Monte-Carlo sampled (20 random k-mers
+per probe) or pigeonholed at k-aligned offsets; both admit false
+negatives or positional constraints.  Here the seed requirement is
+*exhaustive*: any run of k_seed consecutive matches counts.  This is
+deterministic and has recall >= either reference mode (it can only add
+true covers; cf. SURVEY.md "Monte-Carlo random seeding mode").
+
+Fast path: when lcf_thres >= probe length, island == 0, and either
+mismatches == 0 or pigeonhole seeding guarantees an in-window seed,
+phase 1 alone decides covers (threshold equals overlap, so
+counts >= ov - mismatches makes the entire overlap the qualifying
+window) and phase 2 is skipped.
+"""
+
+from collections import defaultdict
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from catch_tpu.ops import encode
+from catch_tpu.utils import intervals
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "CoverModel", "ProbeSearcher", "choose_seed_length",
+    "probe_covers_sequence_by_longest_common_substring",
+]
+
+# Tile shapes (static; tuned for ~16 GB HBM v5e).  An (NA_BLK x P_BLK)
+# f32 count tile is 256 MB.
+NA_BLK = 16384
+P_BLK = 4096
+_CAP_START = 1 << 15
+
+
+class CoverModel:
+    """Hybridization model parameters (the default LCS model).
+
+    mismatches/lcf_thres/island_of_exact_match follow the reference
+    contract (/root/reference/catch/probe.py:1274-1346).  custom_fn, if
+    given, is a host callable with the reference's 6-argument signature;
+    it replaces the default model and mismatches/lcf_thres are ignored.
+    """
+
+    def __init__(self, mismatches=None, lcf_thres=None,
+                 island_of_exact_match=0, custom_fn=None):
+        self.mismatches = mismatches
+        self.lcf_thres = lcf_thres
+        self.island_of_exact_match = island_of_exact_match
+        self.custom_fn = custom_fn
+
+    def __repr__(self):
+        if self.custom_fn is not None:
+            return f"CoverModel(custom={self.custom_fn})"
+        return (f"CoverModel(m={self.mismatches}, lcf={self.lcf_thres}, "
+                f"island={self.island_of_exact_match})")
+
+
+def choose_seed_length(probe_lens, mismatches, lcf_thres, min_k=20, k=20):
+    """Choose the seed (k-mer) length, mirroring the reference dispatcher.
+
+    Returns (k_seed, mode) where mode is 'pigeonhole' or 'random'.
+    Mirrors /root/reference/catch/probe.py:507-577 (including the
+    decrement-until-divides pigeonhole k selection at :473-491).
+    """
+    lens = set(probe_lens)
+    if not lens:
+        return k, "random"
+    L = next(iter(lens))
+    if (mismatches is None or lcf_thres is None or len(lens) > 1
+            or lcf_thres < L):
+        return k, "random"
+    if mismatches == 0:
+        kp = L
+    else:
+        kp = int(L / mismatches)
+        if kp == float(L) / mismatches:
+            kp -= 1
+        while L % kp != 0:
+            kp -= 1
+    if kp < min_k:
+        return k, "random"
+    return kp, "pigeonhole"
+
+
+def probe_covers_sequence_by_longest_common_substring(
+        mismatches, lcf_thres, island_of_exact_match=0):
+    """Host closure with the reference cover-model contract.
+
+    Provided for API parity and for oracle tests; the TPU engine encodes
+    the same model directly (see module docstring).
+    """
+    from catch_tpu.utils import lcs
+
+    def lcf(probe_seq, sequence, kmer_start, kmer_end,
+            full_probe_len, full_sequence_len):
+        l, start = lcs.k_lcf_around_anchor(
+            probe_seq, sequence, kmer_start, kmer_end, mismatches)
+        if l < min(lcf_thres, full_probe_len, full_sequence_len):
+            return None
+        if island_of_exact_match > 0:
+            if mismatches == 0:
+                exact_l = l
+            else:
+                exact_l, _ = lcs.k_lcf_around_anchor(
+                    probe_seq, sequence, kmer_start, kmer_end, 0)
+            if exact_l < island_of_exact_match:
+                return None
+        return (start, start + l)
+
+    return lcf
+
+
+@functools.partial(
+    jax.jit, static_argnames=("A", "Lmax", "na_blk", "cap"))
+def _phase1_tile(seq_padded, n, a0, probe_codes, probe_lens,
+                 lcf, K, k_seed, *, A, Lmax, na_blk, cap):
+    """Match-count a tile of alignments x probes; extract candidates.
+
+    seq_padded: (n_pad + 2*Lmax,) uint8 codes, PAD(0) outside [Lmax, Lmax+n)
+    n: actual sequence length (device scalar)
+    a0: first alignment of this tile (alignment a: probe pos 0 at seq pos a)
+    probe_codes: (P_blk, Lmax) uint8
+    probe_lens: (P_blk,) int32
+    lcf, K, k_seed: model scalars (device; K < 0 means "custom model",
+        for which the prefilter is counts >= k_seed alone)
+
+    Returns (w_idx, p_idx, count): candidate tile coordinates (first
+    `count` entries valid) and the true candidate count (for cap
+    escalation on overflow).
+    """
+    a = a0 + jnp.arange(na_blk, dtype=jnp.int32)
+    j = jnp.arange(Lmax, dtype=jnp.int32)
+    win = seq_padded[a[:, None] + j[None, :] + Lmax]          # (NA, Lmax)
+    win_oh = jax.nn.one_hot(win.astype(jnp.int32) - 1, A, dtype=jnp.bfloat16)
+    probes_oh = jax.nn.one_hot(
+        probe_codes.astype(jnp.int32) - 1, A, dtype=jnp.bfloat16)
+    counts = jnp.einsum("wla,pla->wp", win_oh, probes_oh,
+                        preferred_element_type=jnp.float32)
+    counts = counts.astype(jnp.int32)                          # (NA, P)
+
+    lens = probe_lens[None, :]
+    ov = (jnp.minimum(n, a[:, None] + lens) - jnp.maximum(0, a[:, None]))
+    ov = jnp.maximum(ov, 0)
+    thres = jnp.minimum(jnp.minimum(lcf, lens), n)
+    need = jnp.where(K < 0, k_seed, jnp.maximum(thres - K, k_seed))
+    cand = ((ov >= jnp.maximum(thres, k_seed)) & (counts >= need)
+            & (lens > 0) & (thres > 0))
+    count = jnp.sum(cand, dtype=jnp.int32)
+    w_idx, p_idx = jnp.nonzero(cand, size=cap, fill_value=0)
+    return w_idx, p_idx, count
+
+
+class ProbeSearcher:
+    """Finds cover ranges of a fixed probe set in target sequences.
+
+    The TPU-native replacement for the reference's probe-finding pool
+    protocol (open_probe_finding_pool / find_probe_covers_in_sequence /
+    close_probe_finding_pool, /root/reference/catch/probe.py:782-1271):
+    construct once per probe set, then query per sequence.  No pool
+    lifecycle; probe tensors live on device for the searcher's lifetime.
+    """
+
+    def __init__(self, probes, model, kmer_probe_map_k=20):
+        """
+        Args:
+            probes: list of catch_tpu.probe.Probe
+            model: CoverModel
+            kmer_probe_map_k: min_k and k for seed-length selection
+                (reference SetCoverFilter's kmer_probe_map_k)
+        """
+        self.model = model
+        # Dedup by sequence, preserving first-occurrence order (the
+        # reference's map keys by Probe which hashes by sequence).
+        seen = {}
+        for p in probes:
+            if p.seq_str not in seen:
+                seen[p.seq_str] = p
+        self.probes = list(seen.values())
+        self.probe_lens = np.array([len(p) for p in self.probes],
+                                   dtype=np.int32)
+        if len(self.probes) == 0:
+            self.empty = True
+            return
+        self.empty = False
+
+        m = None if model.custom_fn is not None else model.mismatches
+        lcf = None if model.custom_fn is not None else model.lcf_thres
+        self.k_seed, self.seed_mode = choose_seed_length(
+            self.probe_lens.tolist(), m, lcf,
+            min_k=kmer_probe_map_k, k=kmer_probe_map_k)
+        if self.seed_mode == "random" and self.k_seed > self.probe_lens.min():
+            raise ValueError("k is larger than the length of a probe")
+
+        self.alphabet = encode.make_alphabet(
+            [p.seq_bytes for p in self.probes])
+        probe_codes = [self.alphabet.encode(p.seq_bytes)
+                       for p in self.probes]
+        self.Lmax = int(self.probe_lens.max())
+        self.probe_codes = encode.pad_and_stack(probe_codes, self.Lmax)
+
+        # Effective lcf threshold for device tiles (None -> unbounded)
+        self.lcf_static = (int(lcf) if lcf is not None
+                           else int(self.Lmax) + 1)
+        self.K_static = int(m) if m is not None else None
+
+        # Fast path validity (phase 1 alone decides covers); see module
+        # docstring.  Checked per sequence against n.
+        lens_equal = len(set(self.probe_lens.tolist())) == 1
+        self.fast_ok = (
+            model.custom_fn is None
+            and model.island_of_exact_match == 0
+            and lcf is not None and lens_equal and lcf >= self.Lmax
+            and (self.seed_mode == "pigeonhole"
+                 or (m is not None and m == 0)))
+
+        # Probe blocks on device, padded to a power-of-two block size
+        # (adaptive: tiny probe sets compile tiny kernels)
+        self.p_blk = min(encode.next_pow2(len(self.probes)), P_BLK)
+        nblocks = (len(self.probes) + self.p_blk - 1) // self.p_blk
+        self._blocks = []
+        for b in range(nblocks):
+            lo = b * self.p_blk
+            hi = min((b + 1) * self.p_blk, len(self.probes))
+            codes = np.zeros((self.p_blk, self.Lmax), dtype=np.uint8)
+            codes[:hi - lo] = self.probe_codes[lo:hi]
+            lens_blk = np.zeros((self.p_blk,), dtype=np.int32)
+            lens_blk[:hi - lo] = self.probe_lens[lo:hi]
+            self._blocks.append(
+                (lo, jax.device_put(codes), jax.device_put(lens_blk)))
+
+    # ------------------------------------------------------------------
+    # Phase 1 driver
+    # ------------------------------------------------------------------
+
+    def _candidates_for_sequence(self, seq_codes):
+        """Yield (probe_idx, alignment) candidate arrays for a sequence."""
+        n = len(seq_codes)
+        n_pad = encode.next_pow2(max(n, 1))
+        padded = np.zeros(n_pad + 2 * self.Lmax, dtype=np.uint8)
+        padded[self.Lmax:self.Lmax + n] = seq_codes
+        seq_dev = jax.device_put(padded)
+        n_dev = jnp.int32(n)
+
+        num_align = n + self.Lmax - 1
+        na_blk = min(encode.next_pow2(num_align), NA_BLK)
+        all_p, all_a = [], []
+        for a0 in range(-(self.Lmax - 1), num_align - (self.Lmax - 1),
+                        na_blk):
+            for (lo, codes_dev, lens_dev) in self._blocks:
+                cap = min(_CAP_START, na_blk * self.p_blk)
+                K_dev = -1 if self.K_static is None else self.K_static
+                while True:
+                    w_idx, p_idx, count = _phase1_tile(
+                        seq_dev, n_dev, jnp.int32(a0), codes_dev, lens_dev,
+                        jnp.int32(self.lcf_static), jnp.int32(K_dev),
+                        jnp.int32(self.k_seed),
+                        A=self.alphabet.size, Lmax=self.Lmax,
+                        na_blk=na_blk, cap=cap)
+                    count = int(count)
+                    if count <= cap:
+                        break
+                    cap = encode.next_pow2(count)
+                if count == 0:
+                    continue
+                w = np.asarray(w_idx)[:count]
+                p = np.asarray(p_idx)[:count]
+                all_p.append(p.astype(np.int64) + lo)
+                all_a.append(w.astype(np.int64) + a0)
+        if not all_p:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        return np.concatenate(all_p), np.concatenate(all_a)
+
+    # ------------------------------------------------------------------
+    # Phase 2: host verification (vectorized numpy)
+    # ------------------------------------------------------------------
+
+    def _verify(self, seq_codes, cand_p, cand_a):
+        """Verify candidates; emit qualifying (probe_idx, start, end) spans.
+
+        Window math shared with catch_tpu.utils.lcs (see module docstring).
+        """
+        n = len(seq_codes)
+        C = len(cand_p)
+        if C == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        L = self.Lmax
+        K = self.K_static
+        k_seed = self.k_seed
+        island = self.model.island_of_exact_match
+        seed_req = max(k_seed, island) if island > 0 else k_seed
+
+        start = np.maximum(0, cand_a)
+        lens = self.probe_lens[cand_p]
+        end = np.minimum(n, cand_a + lens)
+        ov = end - start
+        thres = np.minimum(np.minimum(self.lcf_static, lens), n)
+
+        j = np.arange(L)
+        seq_idx = start[:, None] + j[None, :]
+        seq_vals = np.where(seq_idx < n, seq_codes[np.minimum(seq_idx, n - 1)],
+                            0)
+        probe_idx = (start - cand_a)[:, None] + j[None, :]
+        probe_vals = np.take_along_axis(
+            self.probe_codes[cand_p], np.minimum(probe_idx, L - 1), axis=1)
+        valid = j[None, :] < ov[:, None]
+        match = (seq_vals == probe_vals) & (seq_vals > 0) & valid
+
+        if self.model.custom_fn is not None:
+            return self._verify_custom(seq_codes, cand_p, cand_a, start, ov,
+                                       match, lens, n)
+
+        # Sorted mismatch positions with sentinels: P[:,0] = -1,
+        # then mismatch positions, then ov (as fill).
+        mism_pos = np.where(valid & ~match, j[None, :], ov[:, None])
+        mism_pos.sort(axis=1)
+        nm = (mism_pos < ov[:, None]).sum(axis=1)
+        Kk = K
+        P = np.full((C, L + Kk + 2), 0, dtype=np.int64)
+        P[:, 0] = -1
+        P[:, 1:L + 1] = mism_pos
+        P[:, L + 1:] = ov[:, None]
+        # Entries past nm hold ov already (fill value of mism_pos)
+
+        # Maximal windows t: (P[t], P[t+K+1]) exclusive, t in 0..nm
+        t_cols = L + 1
+        lenW = P[:, Kk + 1:Kk + 1 + t_cols] - P[:, :t_cols] - 1
+        # Match runs r[i] = P[i+1] - P[i] - 1, i in 0..L+K
+        runs = P[:, 1:] - P[:, :-1] - 1
+        # Sliding max of runs over windows of size K+1
+        seedmax = runs[:, :t_cols]
+        for s in range(1, Kk + 1):
+            seedmax = np.maximum(seedmax, runs[:, s:s + t_cols])
+        t_idx = np.arange(t_cols)[None, :]
+        qualify = ((t_idx <= nm[:, None]) & (lenW >= thres[:, None])
+                   & (seedmax >= seed_req) & (thres[:, None] > 0))
+
+        rows, ts = np.nonzero(qualify)
+        span_start = P[rows, ts] + 1 + start[rows]
+        span_end = P[rows, ts + Kk + 1] + start[rows]
+        return cand_p[rows], span_start, span_end
+
+    def _verify_custom(self, seq_codes, cand_p, cand_a, start, ov, match,
+                       lens, n):
+        """Slow escape hatch: call a user cover fn per candidate anchor.
+
+        Mirrors the reference's per-(position, probe) invocation of
+        dynamically-loaded models (/root/reference/catch/probe.py:1095-1098):
+        for every maximal run of >= k_seed consecutive matches, the fn is
+        called once per k-mer anchor position within the run.
+        """
+        fn = self.model.custom_fn
+        k = self.k_seed
+        out_p, out_s, out_e = [], [], []
+        for c in range(len(cand_p)):
+            p_i = int(cand_p[c])
+            probe = self.probes[p_i]
+            a = int(cand_a[c])
+            st = int(start[c])
+            o = int(ov[c])
+            if o < k:
+                continue
+            probe_clip_start = st - a
+            probe_seq = probe.seq_str[probe_clip_start:probe_clip_start + o]
+            m = match[c, :o]
+            # anchors: positions i where m[i:i+k] all True
+            run_ok = np.convolve(m.astype(np.int64),
+                                 np.ones(k, dtype=np.int64),
+                                 mode="valid") == k
+            anchor_positions = np.flatnonzero(run_ok)
+            if len(anchor_positions) == 0:
+                continue
+            subseq = self._seq_str_cache[st:st + o]
+            for i in anchor_positions:
+                r = fn(probe_seq, subseq, int(i), int(i) + k,
+                       int(lens[c]), n)
+                if r is None:
+                    continue
+                out_p.append(p_i)
+                out_s.append(r[0] + st)
+                out_e.append(r[1] + st)
+        return (np.array(out_p, dtype=np.int64),
+                np.array(out_s, dtype=np.int64),
+                np.array(out_e, dtype=np.int64))
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def find_probe_covers(self, sequence, merge_overlapping=True):
+        """Find cover ranges of every probe in `sequence`.
+
+        Args:
+            sequence: target sequence as a string
+            merge_overlapping: merge overlapping ranges per probe (the
+                reference's contract; False keeps distinct ranges for
+                depth analysis)
+
+        Returns:
+            dict mapping Probe -> sorted list of (start, end) ranges
+        """
+        if self.empty:
+            return {}
+        n = len(sequence)
+        if n < self.k_seed:
+            return {}
+        seq_bytes = encode.encode_bytes(sequence)
+        seq_codes = self.alphabet.encode(seq_bytes)
+        self._seq_str_cache = sequence  # for the custom-fn path
+
+        cand_p, cand_a = self._candidates_for_sequence(seq_codes)
+
+        fast = self.fast_ok and (
+            n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
+        if fast:
+            p_idx = cand_p
+            span_start = np.maximum(0, cand_a)
+            span_end = np.minimum(n, cand_a + self.probe_lens[cand_p])
+        else:
+            p_idx, span_start, span_end = self._verify(
+                seq_codes, cand_p, cand_a)
+
+        return self._group_spans(p_idx, span_start, span_end,
+                                 merge_overlapping)
+
+    def _group_spans(self, p_idx, span_start, span_end, merge_overlapping):
+        if len(p_idx) == 0:
+            return {}
+        order = np.lexsort((span_end, span_start, p_idx))
+        p_idx = p_idx[order]
+        s = span_start[order]
+        e = span_end[order]
+        out = {}
+        boundaries = np.flatnonzero(np.diff(p_idx)) + 1
+        groups = np.split(np.arange(len(p_idx)), boundaries)
+        for g in groups:
+            pi = int(p_idx[g[0]])
+            spans = list(zip(s[g].tolist(), e[g].tolist()))
+            if merge_overlapping:
+                spans = intervals.merge_overlapping(spans)
+            else:
+                spans = sorted(set(spans))
+            out[self.probes[pi]] = spans
+        return out

@@ -1,0 +1,259 @@
+"""Tests for the TPU cover engine (catch_tpu.ops.cover).
+
+Includes a brute-force oracle implementing the engine's declared
+semantics (all maximal <=m-mismatch windows containing a k_seed match
+run and meeting the length threshold), plus reference-style planted
+probe recall tests (modeled on the reference's randomized engine tests,
+/root/reference/catch/tests/test_probe.py:792-941).
+"""
+
+import numpy as np
+import pytest
+
+from catch_tpu.probe import Probe
+from catch_tpu.ops import cover
+from catch_tpu.utils import intervals
+
+
+def oracle_covers(probes, sequence, mismatches, lcf_thres, k_seed,
+                  island=0, merge=True):
+    """Brute-force implementation of the engine's cover semantics."""
+    n = len(sequence)
+    out = {}
+    if n < k_seed:
+        return out
+    for p in probes:
+        if p in out:
+            continue
+        lp = len(p)
+        thres = min(lcf_thres, lp, n)
+        spans = []
+        for a in range(-(lp - 1), n):
+            start = max(0, a)
+            end = min(n, a + lp)
+            ov = end - start
+            if ov < max(thres, k_seed) or thres <= 0:
+                continue
+            match = [sequence[start + j] == p.seq_str[start - a + j]
+                     for j in range(ov)]
+            # All maximal windows with <= mismatches mismatches
+            mism = [j for j in range(ov) if not match[j]]
+            P = [-1] + mism + [ov] * (mismatches + 1)
+            nm = len(mism)
+            for t in range(nm + 1):
+                lo = P[t] + 1
+                hi = P[t + mismatches + 1]
+                if hi - lo < thres:
+                    continue
+                # longest run of matches within the window
+                best_run = run = 0
+                for j in range(lo, hi):
+                    if match[j]:
+                        run += 1
+                        best_run = max(best_run, run)
+                    else:
+                        run = 0
+                req = max(k_seed, island) if island > 0 else k_seed
+                if best_run < req:
+                    continue
+                spans.append((lo + start, hi + start))
+        if spans:
+            if merge:
+                out[p] = intervals.merge_overlapping(spans)
+            else:
+                out[p] = sorted(set(spans))
+    return out
+
+
+def run_engine(probes, sequence, mismatches, lcf_thres, island=0,
+               kmer_k=3, merge=True):
+    model = cover.CoverModel(mismatches=mismatches, lcf_thres=lcf_thres,
+                             island_of_exact_match=island)
+    searcher = cover.ProbeSearcher(probes, model, kmer_probe_map_k=kmer_k)
+    return searcher.find_probe_covers(sequence, merge_overlapping=merge), \
+        searcher
+
+
+class TestExactMatch:
+    def test_exact_single_probe(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        p = Probe.from_str("DEFGHI")
+        got, s = run_engine([p], seq, 0, 6)
+        assert s.seed_mode == "pigeonhole"
+        assert got == {p: [(3, 9)]}
+
+    def test_no_match(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        p = Probe.from_str("XYZQRS")
+        got, _ = run_engine([p], seq, 0, 6)
+        assert got == {}
+
+    def test_repeated_match_merged(self):
+        seq = "ABCABCABC"
+        p = Probe.from_str("ABC")
+        got, _ = run_engine([p], seq, 0, 3)
+        assert got == {p: [(0, 9)]}
+
+    def test_multiple_probes(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        p1 = Probe.from_str("ABCDEF")
+        p2 = Probe.from_str("KLMNOP")
+        p3 = Probe.from_str("ZZZZZZ")
+        got, _ = run_engine([p1, p2, p3], seq, 0, 6)
+        assert got == {p1: [(0, 6)], p2: [(10, 16)]}
+
+    def test_sequence_shorter_than_seed(self):
+        got, _ = run_engine([Probe.from_str("ABCDEF")], "AB", 0, 6)
+        assert got == {}
+
+
+class TestMismatches:
+    def test_one_mismatch_full_lcf(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        p = Probe.from_str("DEXGHI")  # 1 mismatch vs DEFGHI
+        got0, _ = run_engine([p], seq, 0, 6, kmer_k=2)
+        assert got0 == {}
+        got1, _ = run_engine([p], seq, 1, 6, kmer_k=2)
+        assert got1 == {p: [(3, 9)]}
+
+    def test_lcf_thres_below_probe_len(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        # last 4 chars match GHIJ; first two mismatch
+        p = Probe.from_str("XYGHIJ")
+        got, s = run_engine([p], seq, 0, 4, kmer_k=3)
+        assert s.seed_mode == "random"
+        assert got == {p: [(6, 10)]}
+
+    def test_island_of_exact_match(self):
+        seq = "ABCDEFGHIJKLMNOP"
+        p = Probe.from_str("DXFGHI")  # mismatch at 2nd char; runs: 1, 4
+        got, _ = run_engine([p], seq, 1, 6, island=0, kmer_k=1)
+        assert got == {p: [(3, 9)]}
+        got4, _ = run_engine([p], seq, 1, 6, island=4, kmer_k=1)
+        assert got4 == {p: [(3, 9)]}
+        got5, _ = run_engine([p], seq, 1, 6, island=5, kmer_k=1)
+        assert got5 == {}
+
+
+class TestClipping:
+    def test_probe_hangs_off_left(self):
+        # Probe tail matches sequence head; requires lcf < probe len
+        seq = "DEFGHIJKLMNOP"
+        p = Probe.from_str("XYZDEF")
+        got, _ = run_engine([p], seq, 0, 3, kmer_k=3)
+        assert p in got
+        assert (0, 3) in got[p]
+
+    def test_probe_hangs_off_right(self):
+        seq = "ABCDEFGHI"
+        p = Probe.from_str("GHIXYZ")
+        got, _ = run_engine([p], seq, 0, 3, kmer_k=3)
+        assert p in got
+        assert (6, 9) in got[p]
+
+    def test_sequence_shorter_than_seed(self):
+        # Pigeonhole mode with m=0 yields k_seed = probe length; a
+        # sequence shorter than the seed cannot be covered (reference
+        # parity: /root/reference/catch/probe.py:1204-1212)
+        seq = "CDEF"
+        p = Probe.from_str("ABCDEFGH")
+        got, _ = run_engine([p], seq, 0, 8, kmer_k=3)
+        assert got == {}
+
+    def test_sequence_shorter_than_probe(self):
+        # With lcf < probe length (random seed mode, small k), thres'
+        # becomes len(sequence) and the fully-overlapping alignment wins
+        seq = "CDEF"
+        p = Probe.from_str("ABCDEFGH")
+        got, _ = run_engine([p], seq, 0, 4, kmer_k=3)
+        assert got == {p: [(0, 4)]}
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("m,lcf,k", [(0, 6, 3), (1, 6, 3), (2, 5, 2),
+                                     (1, 4, 2)])
+def test_random_vs_oracle(seed, m, lcf, k):
+    rng = np.random.RandomState(seed * 100 + m * 10 + lcf)
+    alpha = list("ACGT")
+    seq = "".join(rng.choice(alpha, 60))
+    probes = []
+    for _ in range(8):
+        if rng.rand() < 0.5:
+            # random probe
+            probes.append(Probe.from_str("".join(rng.choice(alpha, 6))))
+        else:
+            # planted probe with mutations
+            s = rng.randint(0, 54)
+            chars = list(seq[s:s + 6])
+            for _ in range(rng.randint(0, m + 1)):
+                i = rng.randint(0, 6)
+                chars[i] = alpha[(alpha.index(chars[i]) + 1) % 4]
+            probes.append(Probe.from_str("".join(chars)))
+    got, _ = run_engine(probes, seq, m, lcf, kmer_k=k)
+    want = oracle_covers(probes, seq, m, lcf, k)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_planted_probe_recall(seed):
+    """Plant real probes into a random genome; all must be recovered.
+
+    Unlike the reference's Monte-Carlo engine (95% recall asserted,
+    /root/reference/catch/tests/test_probe.py:910-914), exhaustive
+    seeding guarantees 100% recall of planted covers.
+    """
+    rng = np.random.RandomState(seed)
+    alpha = list("ACGT")
+    n = 5000
+    seq = rng.choice(alpha, n)
+    L, m = 50, 2
+    planted = []
+    for i in range(20):
+        pos = rng.randint(0, n - L)
+        chars = list(seq[pos:pos + L])
+        for _ in range(rng.randint(0, m + 1)):
+            j = rng.randint(0, L)
+            chars[j] = alpha[(alpha.index(chars[j]) + 1) % 4]
+        planted.append((Probe.from_str("".join(chars)), pos))
+    seq = "".join(seq)
+    probes = [p for p, _ in planted]
+    model = cover.CoverModel(mismatches=m, lcf_thres=L)
+    searcher = cover.ProbeSearcher(probes, model, kmer_probe_map_k=10)
+    got = searcher.find_probe_covers(seq)
+    for p, pos in planted:
+        assert p in got, f"planted probe at {pos} not found"
+        covered = any(s <= pos and e >= pos + L for s, e in got[p])
+        assert covered, (pos, got[p])
+
+
+def test_duplicate_probes_share_entry():
+    seq = "ABCDEFGHIJKL"
+    p1 = Probe.from_str("ABCDEF")
+    p2 = Probe.from_str("ABCDEF")
+    got, _ = run_engine([p1, p2], seq, 0, 6)
+    assert len(got) == 1
+    assert got[p1] == [(0, 6)]
+
+
+def test_custom_cover_fn():
+    # Covers iff the probe's clipped seq equals subsequence exactly and
+    # returns a fixed-size range
+    def fn(probe_seq, sequence, kmer_start, kmer_end, full_probe_len,
+           full_seq_len):
+        if probe_seq == sequence:
+            return (0, len(sequence))
+        return None
+
+    seq = "ABCDEFGHIJKL"
+    p = Probe.from_str("CDEFGH")
+    model = cover.CoverModel(custom_fn=fn)
+    searcher = cover.ProbeSearcher([p], model, kmer_probe_map_k=3)
+    got = searcher.find_probe_covers(seq)
+    assert got == {p: [(2, 8)]}
+
+
+def test_merge_overlapping_false_keeps_distinct():
+    seq = "ABCDABCDABCD"
+    p = Probe.from_str("ABCD")
+    got, _ = run_engine([p], seq, 0, 4, kmer_k=4, merge=False)
+    assert got == {p: [(0, 4), (4, 8), (8, 12)]}
