@@ -1,0 +1,525 @@
+"""Greedy weighted partial multi-universe set cover — TPU-native.
+
+Capability parity with the reference solver
+(/root/reference/catch/utils/set_cover.py:14-615): ``approx`` (classic
+weighted partial cover) and ``approx_multiuniverse`` (per-universe
+fractional coverage, per-set integer rank tiers, costs), with the same
+dict-based host API accepting sets, arrays, or interval sets.
+
+TPU-first design (vs. the reference's per-set Python loops with
+memoized intersection counts and a "last minimum ratio" reuse
+heuristic, which are CPU-isms):
+
+- Every universe occupies a contiguous slice of one global position
+  axis.  Each candidate set is a list of half-open intervals on that
+  axis (arbitrary element values are densified per universe on the
+  host first, so runs of consecutive elements become intervals).
+- The greedy loop runs entirely on device as one ``lax.while_loop``:
+  per iteration, the number of still-needed positions each set would
+  newly cover is computed for *all* sets at once via a prefix sum of
+  the uncovered indicator, two gathers per interval, and two segment
+  sums (interval -> (set, universe) pair -> set, with the per-universe
+  "no need to cover more than what's left" cap applied at the pair
+  level, mirroring reference :424-426).  The pick is a masked argmin
+  of cost/score; rank tiers advance only when no set of the current
+  rank has positive score (reference :497-510, :522-526).
+- Tie-breaking is deterministic: the lowest set id among minimal
+  ratios wins (``jnp.argmin`` returns the first minimum).  The
+  reference's tie order is Python-set iteration order and therefore
+  unspecified; outputs agree wherever the reference's choice is
+  well-defined.
+
+The same step function is reused by the sharded multi-device solver in
+catch_tpu/parallel/ (positions sharded over a mesh; per-set scores
+merged with lax.psum).
+"""
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from catch_tpu.utils import intervals as intervals_mod
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["approx", "approx_multiuniverse", "SetCoverInstance",
+           "solve_instance"]
+
+# Instances with a global position axis at most this long are solved by
+# the exact numpy mirror of the device step (tiny instances are
+# compile-bound on device; the two paths are bit-identical — see
+# tests/test_set_cover.py device-parity test).
+_HOST_SOLVE_MAX_ULEN = 1 << 16
+
+
+def _next_pow2(x):
+    return 1 if x <= 1 else 1 << int(x - 1).bit_length()
+
+
+class SetCoverInstance:
+    """A canonicalized multi-universe set-cover instance (flat arrays).
+
+    Attributes:
+        n_sets: number of candidate sets S (ids 0..S-1)
+        n_universes: number of universes
+        u_size: int64[nU] universe sizes |U_u| (count of distinct
+            elements in the union of all sets for that universe)
+        can_uncover: int64[nU] floor(|U_u| - p_u * |U_u|)
+        ivl_start, ivl_end: int64[M] global half-open interval bounds
+        pair_of_ivl: int32[M] dense (set, universe)-pair id per interval
+        set_of_pair, univ_of_pair: int32[PAIRS]
+        cost: float32[S]
+        rank_idx: int32[S] index into the sorted distinct rank values
+        n_rank_vals: number of distinct ranks
+        u_len: total length of the global position axis
+    """
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _runs_to_intervals(sorted_vals):
+    """Convert a sorted int array to half-open intervals of consecutive runs."""
+    if len(sorted_vals) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    breaks = np.flatnonzero(np.diff(sorted_vals) != 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(sorted_vals) - 1]))
+    return np.stack([sorted_vals[starts], sorted_vals[ends] + 1], axis=1)
+
+
+def build_instance(sets, costs=None, universe_p=None, ranks=None,
+                   use_intervalsets=False):
+    """Canonicalize the reference-style dict inputs into flat arrays.
+
+    Args:
+        sets: dict set_id -> dict universe_id -> (set | array | list |
+            IntervalSet | single (start, end) tuple)
+        costs / universe_p / ranks: as in the reference API
+        use_intervalsets: values are IntervalSets / single-interval
+            tuples over ints; their coordinates are used directly
+            (per-universe, offset to the universe's global slice)
+
+    Returns:
+        (instance, set_id_list): instance arrays + original set ids in
+        dense order (sorted for determinism).
+    """
+    set_id_list = sorted(sets.keys(), key=_sort_key)
+    universe_ids = set()
+    for sbu in sets.values():
+        universe_ids.update(sbu.keys())
+    universe_id_list = sorted(universe_ids, key=_sort_key)
+    u_index = {u: i for i, u in enumerate(universe_id_list)}
+    nU = len(universe_id_list)
+
+    if costs is None:
+        cost = np.ones(len(set_id_list), dtype=np.float32)
+    else:
+        for c in costs.values():
+            if c < 0:
+                raise ValueError("All costs must be nonnegative")
+        for sid in set_id_list:
+            if sid not in costs:
+                raise ValueError(f"costs is missing a value for set {sid}")
+        cost = np.array([costs[sid] for sid in set_id_list], dtype=np.float32)
+
+    if ranks is None:
+        rank_arr = np.ones(len(set_id_list), dtype=np.int64)
+    else:
+        for sid in set_id_list:
+            if sid not in ranks:
+                raise ValueError(f"ranks is missing a value for set {sid}")
+        rank_arr = np.array([ranks[sid] for sid in set_id_list],
+                            dtype=np.int64)
+    rank_vals = np.unique(rank_arr)
+    rank_idx = np.searchsorted(rank_vals, rank_arr).astype(np.int32)
+
+    # Per-universe interval lists in local (within-universe) coordinates.
+    per_set_ivls = []  # list of (set_idx, univ_idx, (k,2) local intervals)
+    if use_intervalsets:
+        # Coordinates are ints used directly; per universe record min/max
+        # to build a compact global slice.
+        u_min = np.full(nU, np.iinfo(np.int64).max, dtype=np.int64)
+        u_max = np.full(nU, np.iinfo(np.int64).min, dtype=np.int64)
+        for si, sid in enumerate(set_id_list):
+            for uid, s in sets[sid].items():
+                ui = u_index[uid]
+                if isinstance(s, tuple):
+                    arr = np.array([s], dtype=np.int64)
+                else:
+                    arr = np.asarray(
+                        [list(i) for i in s.intervals], dtype=np.int64
+                    ).reshape(-1, 2)
+                if arr.shape[0] == 0:
+                    continue
+                u_min[ui] = min(u_min[ui], int(arr[:, 0].min()))
+                u_max[ui] = max(u_max[ui], int(arr[:, 1].max()))
+                per_set_ivls.append((si, ui, arr))
+        base = np.where(u_min > u_max, 0, u_min)
+        span = np.maximum(u_max - base, 0)
+        per_set_ivls = [(si, ui, a - base[ui]) for (si, ui, a) in per_set_ivls]
+        u_span = span
+    else:
+        # Arbitrary hashable elements: densify per universe by sorted
+        # element order so consecutive values form intervals.
+        u_elements = [dict() for _ in range(nU)]
+        collected = []
+        for si, sid in enumerate(set_id_list):
+            for uid, s in sets[sid].items():
+                ui = u_index[uid]
+                vals = list(s)
+                for v in vals:
+                    u_elements[ui][v] = None
+                collected.append((si, ui, vals))
+        u_rank = []
+        for ui in range(nU):
+            ordered = sorted(u_elements[ui].keys(), key=_sort_key)
+            u_rank.append({v: i for i, v in enumerate(ordered)})
+        u_span = np.array([len(r) for r in u_rank], dtype=np.int64)
+        for si, ui, vals in collected:
+            if not vals:
+                continue
+            dense = np.unique(
+                np.array([u_rank[ui][v] for v in vals], dtype=np.int64))
+            per_set_ivls.append((si, ui, _runs_to_intervals(dense)))
+
+    offsets = np.zeros(nU + 1, dtype=np.int64)
+    np.cumsum(u_span, out=offsets[1:])
+    u_len = int(offsets[-1])
+
+    # Merge intervals per (set, universe) and flatten with dense pair ids.
+    pair_key = {}
+    set_of_pair, univ_of_pair = [], []
+    ivl_start, ivl_end, pair_of_ivl = [], [], []
+    for si, ui, arr in per_set_ivls:
+        if arr.shape[0] == 0:
+            continue
+        merged = intervals_mod.merge_overlapping(
+            [(int(a), int(b)) for a, b in arr])
+        key = (si, ui)
+        if key not in pair_key:
+            pair_key[key] = len(set_of_pair)
+            set_of_pair.append(si)
+            univ_of_pair.append(ui)
+        pid = pair_key[key]
+        for a, b in merged:
+            ivl_start.append(a + offsets[ui])
+            ivl_end.append(b + offsets[ui])
+            pair_of_ivl.append(pid)
+
+    ivl_start = np.array(ivl_start, dtype=np.int64)
+    ivl_end = np.array(ivl_end, dtype=np.int64)
+    pair_of_ivl = np.array(pair_of_ivl, dtype=np.int32)
+    set_of_pair = np.array(set_of_pair, dtype=np.int32)
+    univ_of_pair = np.array(univ_of_pair, dtype=np.int32)
+
+    # Universe sizes = number of elements in the union of all intervals
+    # per universe (for intervalsets mode the span may exceed the union).
+    u_size = np.zeros(nU, dtype=np.int64)
+    if len(ivl_start):
+        in_universe = _union_indicator(ivl_start, ivl_end, u_len)
+        pos_univ = np.searchsorted(offsets, np.arange(u_len), side="right") - 1
+        u_size = np.bincount(pos_univ, weights=in_universe,
+                             minlength=nU).astype(np.int64)
+
+    if universe_p is None:
+        p_arr = np.ones(nU, dtype=np.float64)
+    else:
+        for p in universe_p.values():
+            if p < 0 or p > 1:
+                raise ValueError(
+                    "The coverage fraction (p) of each universe must be "
+                    "in [0,1]")
+        for uid in universe_id_list:
+            if uid not in universe_p:
+                raise ValueError(
+                    f"universe_p is missing a value for universe {uid}")
+        p_arr = np.array([universe_p[uid] for uid in universe_id_list],
+                         dtype=np.float64)
+    # Reference floor semantics: int(len - p*len)
+    # (/root/reference/catch/utils/set_cover.py:362-373)
+    can_uncover = (u_size - p_arr * u_size).astype(np.int64)
+
+    inst = SetCoverInstance(
+        n_sets=len(set_id_list), n_universes=nU, u_size=u_size,
+        can_uncover=can_uncover, ivl_start=ivl_start, ivl_end=ivl_end,
+        pair_of_ivl=pair_of_ivl, set_of_pair=set_of_pair,
+        univ_of_pair=univ_of_pair, cost=cost, rank_idx=rank_idx,
+        n_rank_vals=len(rank_vals), u_len=u_len,
+        pos_univ_offsets=offsets)
+    return inst, set_id_list
+
+
+def _sort_key(x):
+    """Deterministic ordering for possibly-mixed-type hashables."""
+    return (type(x).__name__, x if isinstance(x, (int, float, str, tuple))
+            else repr(x))
+
+
+def _union_indicator(starts, ends, n):
+    delta = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, ends, -1)
+    return (np.cumsum(delta[:n]) > 0).astype(np.int64)
+
+
+# ----------------------------------------------------------------------
+# Device solver
+# ----------------------------------------------------------------------
+
+def _greedy_step(state, const):
+    """One greedy iteration; shared by the 1-device and sharded solvers.
+
+    state: (covered[U] bool, len_u[nU] i32, in_cover[S] bool,
+            order[S] i32, n_chosen i32, cur_rank i32, stop bool)
+    const: dict of instance arrays (device-resident).  Padded entries
+    (dummy sets / pairs / intervals / universes) are inert: padded
+    intervals are empty, padded universes have size 0, padded sets have
+    rank index n_rank_vals (never eligible).
+    """
+    covered, len_u, in_cover, order, n_chosen, cur_rank, stop = state
+    need_u = jnp.maximum(len_u - const["can_uncover"], 0)
+    active = jnp.any(need_u > 0)
+
+    uncov = (~covered).astype(jnp.int32)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(uncov)])
+    new_ivl = prefix[const["ivl_end"]] - prefix[const["ivl_start"]]
+    pair_new = jax.ops.segment_sum(
+        new_ivl, const["pair_of_ivl"], num_segments=const["n_pairs"])
+    pair_capped = jnp.minimum(pair_new, need_u[const["univ_of_pair"]])
+    score = jax.ops.segment_sum(
+        pair_capped, const["set_of_pair"], num_segments=const["n_sets"])
+
+    elig = ((~in_cover) & (const["rank_idx"] == cur_rank) & (score > 0))
+    ratio = jnp.where(elig, const["cost"] / score.astype(jnp.float32),
+                      jnp.inf)
+    any_elig = jnp.any(elig)
+    chosen = jnp.argmin(ratio).astype(jnp.int32)
+
+    pick = active & any_elig
+    adv = active & ~any_elig
+    new_stop = (~active) | (adv & (cur_rank + 1 >= const["n_rank_vals"]))
+    cur_rank = cur_rank + adv.astype(jnp.int32)
+
+    # Coverage update for the chosen set (no-op when not picking)
+    w = ((const["set_of_pair"][const["pair_of_ivl"]] == chosen)
+         & pick).astype(jnp.int32)
+    U = covered.shape[0]
+    delta = jnp.zeros((U + 1,), jnp.int32)
+    delta = delta.at[const["ivl_start"]].add(w)
+    delta = delta.at[const["ivl_end"]].add(-w)
+    chosen_cov = jnp.cumsum(delta[:U]) > 0
+    covered = covered | chosen_cov
+
+    dec = jax.ops.segment_sum(
+        jnp.where(const["set_of_pair"] == chosen, pair_new, 0),
+        const["univ_of_pair"], num_segments=const["n_universes"])
+    len_u = len_u - jnp.where(pick, dec, 0)
+
+    in_cover = in_cover.at[chosen].set(in_cover[chosen] | pick)
+    order = order.at[n_chosen].set(
+        jnp.where(pick, chosen, order[n_chosen]))
+    n_chosen = n_chosen + pick.astype(jnp.int32)
+    return (covered, len_u, in_cover, order, n_chosen, cur_rank, new_stop)
+
+
+def _solve_host(inst):
+    """Exact numpy mirror of the device greedy loop (same dtypes and
+    tie-breaking), for small instances where XLA compiles dominate."""
+    U = inst.u_len
+    M = len(inst.ivl_start)
+    nP = len(inst.set_of_pair)
+    S = inst.n_sets
+    nU = inst.n_universes
+    starts = inst.ivl_start.astype(np.int64)
+    ends = inst.ivl_end.astype(np.int64)
+    pair_of_ivl = inst.pair_of_ivl
+    set_of_pair = inst.set_of_pair
+    univ_of_pair = inst.univ_of_pair
+    cost = inst.cost
+    rank_idx = inst.rank_idx
+    can_uncover = inst.can_uncover.astype(np.int64)
+
+    covered = ~(_union_indicator(starts, ends, U).astype(bool))
+    len_u = inst.u_size.astype(np.int64).copy()
+    in_cover = np.zeros(S, dtype=bool)
+    order = []
+    cur_rank = 0
+    while True:
+        need_u = np.maximum(len_u - can_uncover, 0)
+        if not np.any(need_u > 0):
+            break
+        prefix = np.zeros(U + 1, dtype=np.int64)
+        np.cumsum(~covered, out=prefix[1:])
+        new_ivl = prefix[ends] - prefix[starts]
+        pair_new = np.bincount(pair_of_ivl, weights=new_ivl,
+                               minlength=nP).astype(np.int64)
+        pair_capped = np.minimum(pair_new, need_u[univ_of_pair])
+        score = np.bincount(set_of_pair, weights=pair_capped,
+                            minlength=S).astype(np.int64)
+        elig = (~in_cover) & (rank_idx == cur_rank) & (score > 0)
+        if not np.any(elig):
+            cur_rank += 1
+            if cur_rank >= inst.n_rank_vals:
+                break
+            continue
+        ratio = np.where(
+            elig,
+            cost.astype(np.float32)
+            / np.maximum(score, 1).astype(np.float32),
+            np.float32(np.inf))
+        chosen = int(np.argmin(ratio))
+        msk = set_of_pair[pair_of_ivl] == chosen
+        if np.any(msk):
+            cov = _union_indicator(starts[msk], ends[msk], U).astype(bool)
+            covered |= cov
+        dec = np.bincount(univ_of_pair,
+                          weights=np.where(set_of_pair == chosen,
+                                           pair_new, 0),
+                          minlength=nU).astype(np.int64)
+        len_u -= dec
+        in_cover[chosen] = True
+        order.append(chosen)
+    return np.array(order, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("u_len_pad", "n_rank_vals"))
+def _solve_jit_padded(ivl_start, ivl_end, pair_of_ivl, set_of_pair,
+                      univ_of_pair, cost, rank_idx, can_uncover, u_size,
+                      *, u_len_pad, n_rank_vals):
+    n_sets = cost.shape[0]
+    const = dict(
+        ivl_start=ivl_start, ivl_end=ivl_end, pair_of_ivl=pair_of_ivl,
+        set_of_pair=set_of_pair, univ_of_pair=univ_of_pair, cost=cost,
+        rank_idx=rank_idx, can_uncover=can_uncover, n_sets=n_sets,
+        n_pairs=set_of_pair.shape[0], n_universes=can_uncover.shape[0],
+        n_rank_vals=n_rank_vals)
+    delta = jnp.zeros((u_len_pad + 1,), jnp.int32)
+    delta = delta.at[ivl_start].add(1)
+    delta = delta.at[ivl_end].add(-1)
+    in_universe = jnp.cumsum(delta[:u_len_pad]) > 0
+    covered0 = ~in_universe
+    state0 = (
+        covered0,
+        u_size.astype(jnp.int32),
+        jnp.zeros((n_sets,), bool),
+        jnp.full((n_sets,), -1, jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    final = jax.lax.while_loop(
+        lambda s: ~s[-1], lambda s: _greedy_step(s, const), state0)
+    _, _, in_cover, order, n_chosen, _, _ = final
+    return in_cover, order, n_chosen
+
+
+def _solve_device(inst):
+    """Pad the instance to power-of-two shape buckets and run the jitted
+    while-loop solver on the default device."""
+    M = len(inst.ivl_start)
+    S, nP, nU = inst.n_sets, len(inst.set_of_pair), inst.n_universes
+    M_pad = _next_pow2(M)
+    S_pad = _next_pow2(S + 1)      # +1 dummy set absorbing padded pairs
+    P_pad = _next_pow2(nP + 1)
+    nU_pad = _next_pow2(nU + 1)
+    U_pad = _next_pow2(inst.u_len)
+
+    ivl_start = np.zeros(M_pad, dtype=np.int32)
+    ivl_end = np.zeros(M_pad, dtype=np.int32)
+    pair_of_ivl = np.full(M_pad, P_pad - 1, dtype=np.int32)
+    ivl_start[:M] = inst.ivl_start
+    ivl_end[:M] = inst.ivl_end
+    pair_of_ivl[:M] = inst.pair_of_ivl
+
+    set_of_pair = np.full(P_pad, S_pad - 1, dtype=np.int32)
+    univ_of_pair = np.full(P_pad, nU_pad - 1, dtype=np.int32)
+    set_of_pair[:nP] = inst.set_of_pair
+    univ_of_pair[:nP] = inst.univ_of_pair
+
+    cost = np.ones(S_pad, dtype=np.float32)
+    rank_idx = np.full(S_pad, inst.n_rank_vals, dtype=np.int32)
+    cost[:S] = inst.cost
+    rank_idx[:S] = inst.rank_idx
+
+    can_uncover = np.zeros(nU_pad, dtype=np.int32)
+    u_size = np.zeros(nU_pad, dtype=np.int32)
+    can_uncover[:nU] = inst.can_uncover
+    u_size[:nU] = inst.u_size
+
+    _, order, n_chosen = _solve_jit_padded(
+        jnp.asarray(ivl_start), jnp.asarray(ivl_end),
+        jnp.asarray(pair_of_ivl), jnp.asarray(set_of_pair),
+        jnp.asarray(univ_of_pair), jnp.asarray(cost),
+        jnp.asarray(rank_idx), jnp.asarray(can_uncover),
+        jnp.asarray(u_size),
+        u_len_pad=U_pad, n_rank_vals=inst.n_rank_vals)
+    n = int(n_chosen)
+    return np.asarray(order)[:n]
+
+
+def solve_instance(inst, force_device=None):
+    """Solve a canonicalized instance; returns dense set indices in pick
+    order (np.int32 array).
+
+    Small instances run on the exact numpy mirror (identical output);
+    large ones on device.  force_device=True/False overrides.
+    """
+    if inst.n_sets == 0 or inst.u_len == 0 or len(inst.ivl_start) == 0:
+        return np.empty(0, dtype=np.int32)
+    if np.all(inst.can_uncover >= inst.u_size):
+        return np.empty(0, dtype=np.int32)
+    use_device = (force_device if force_device is not None
+                  else inst.u_len > _HOST_SOLVE_MAX_ULEN)
+    if use_device:
+        return _solve_device(inst)
+    return _solve_host(inst)
+
+
+# ----------------------------------------------------------------------
+# Reference-parity host API
+# ----------------------------------------------------------------------
+
+def approx_multiuniverse(sets, costs=None, universe_p=None, ranks=None,
+                         use_arrays=False, use_intervalsets=False,
+                         logger_prefix=""):
+    """Approximate the multi-universe weighted partial set cover.
+
+    API parity with /root/reference/catch/utils/set_cover.py:147-615;
+    see module docstring for the device algorithm.  `use_arrays` is
+    accepted for compatibility (arrays and sets canonicalize the same
+    way here).
+
+    Returns:
+        set of chosen set identifiers
+    """
+    if use_arrays and use_intervalsets:
+        raise ValueError("Cannot use both arrays and IntervalSets")
+    inst, set_id_list = build_instance(
+        sets, costs=costs, universe_p=universe_p, ranks=ranks,
+        use_intervalsets=use_intervalsets)
+    chosen = solve_instance(inst)
+    if ranks is not None and len(chosen):
+        ranks_arr = np.array([ranks[set_id_list[i]] for i in chosen])
+        min_rank = min(ranks.values())
+        n_high = int(np.sum(ranks_arr > min_rank))
+        if n_high:
+            logger.warning(
+                "%sThe solution chose %d sets with rank above the minimum",
+                logger_prefix, n_high)
+    return {set_id_list[i] for i in chosen}
+
+
+def approx(sets, costs=None, p=1.0):
+    """Approximate the weighted partial set cover (single universe).
+
+    API parity with /root/reference/catch/utils/set_cover.py:14-144.
+    """
+    if p < 0 or p > 1:
+        raise ValueError("p must be in [0,1]")
+    mu_sets = {sid: {0: s} for sid, s in sets.items()}
+    return approx_multiuniverse(mu_sets, costs=costs, universe_p={0: p})
