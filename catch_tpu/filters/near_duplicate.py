@@ -1,0 +1,108 @@
+"""Removes near-duplicate probes using LSH.
+
+Behavioral parity with the reference
+(/root/reference/catch/filter/near_duplicate_filter.py:19-190): probes
+sorted by multiplicity (descending, stable by first occurrence) so the
+highest-coverage representative of each near-duplicate cluster is kept;
+greedy include/exclude sweep over LSH near-neighbor lookups with an
+exact distance re-check; Hamming and MinHash variants.  Must run
+before/instead of DuplicateFilter (multiplicity matters).
+
+Design differences: output order is deterministic (inclusion order
+rather than the reference's Python-set order), and hashing randomness
+is seeded per filter instance.
+"""
+
+from catch_tpu.filters.base import BaseFilter
+from catch_tpu.utils import lsh
+
+import numpy as np
+
+__all__ = ["NearDuplicateFilter", "NearDuplicateFilterWithHammingDistance",
+           "NearDuplicateFilterWithMinHash"]
+
+
+class NearDuplicateFilter(BaseFilter):
+    """Removes near-duplicates using LSH (abstract; see subclasses)."""
+
+    def __init__(self, k, reporting_prob=0.80):
+        self.k = k
+        self.reporting_prob = reporting_prob
+
+    def _filter(self, input):
+        # Multiplicity sort: stable descending by count, ties keep
+        # first-occurrence order (dict insertion order + stable sort)
+        occurrences = {}
+        for p in input:
+            occurrences[p] = occurrences.get(p, 0) + 1
+        input_sorted = [p for p, _ in
+                        sorted(occurrences.items(), key=lambda t: t[1],
+                               reverse=True)]
+        unique = list(occurrences.keys())
+
+        nnl = lsh.NearNeighborLookup(
+            self.lsh_family, self.k, self.dist_thres, self.dist_fn,
+            self.reporting_prob)
+        nnl.add([p.seq_str for p in unique])
+        by_seq = {p.seq_str: p for p in unique}
+
+        to_include = []
+        included = set()
+        excluded = set()
+        for p in input_sorted:
+            assert p not in included
+            if p in excluded:
+                continue
+            to_include.append(p)
+            included.add(p)
+            for near_dup_seq in nnl.query(p.seq_str):
+                near_dup = by_seq[near_dup_seq]
+                if near_dup not in included:
+                    excluded.add(near_dup)
+
+        assert len(included | excluded) == len(input_sorted)
+        assert len(included & excluded) == 0
+        return to_include
+
+
+def hamming_dist(a, b):
+    """Hamming distance between two equal-length sequences (strings)."""
+    arr_a = np.frombuffer(a.encode("ascii"), dtype=np.uint8)
+    arr_b = np.frombuffer(b.encode("ascii"), dtype=np.uint8)
+    return int(np.sum(arr_a != arr_b))
+
+
+class NearDuplicateFilterWithHammingDistance(NearDuplicateFilter):
+    """Near-duplicate removal by Hamming distance (k=20 concatenation)."""
+
+    def __init__(self, dist_thres, probe_length, seed=0):
+        super().__init__(k=20)
+        self.lsh_family = lsh.HammingDistanceFamily(
+            probe_length, rng=np.random.default_rng(seed))
+        self.dist_thres = dist_thres
+        self.dist_fn = hamming_dist
+
+
+class jaccard_dist_fn:
+    """Exact k-mer Jaccard distance between two sequences."""
+
+    def __init__(self, kmer_size):
+        self.kmer_size = kmer_size
+
+    def __call__(self, a, b):
+        k = self.kmer_size
+        a_kmers = {a[i:i + k] for i in range(len(a) - k + 1)}
+        b_kmers = {b[i:i + k] for i in range(len(b) - k + 1)}
+        jaccard_sim = float(len(a_kmers & b_kmers)) / len(a_kmers | b_kmers)
+        return 1.0 - jaccard_sim
+
+
+class NearDuplicateFilterWithMinHash(NearDuplicateFilter):
+    """Near-duplicate removal by MinHash k-mer Jaccard (k=3)."""
+
+    def __init__(self, dist_thres, kmer_size=10, seed=0):
+        super().__init__(k=3)
+        self.lsh_family = lsh.MinHashFamily(
+            kmer_size, rng=np.random.default_rng(seed))
+        self.dist_thres = dist_thres
+        self.dist_fn = jaccard_dist_fn(kmer_size)

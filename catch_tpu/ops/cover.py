@@ -263,9 +263,49 @@ class ProbeSearcher:
     # Phase 1 driver
     # ------------------------------------------------------------------
 
+    # Workloads below this many (alignment x probe) cells run phase 1
+    # on the host (identical numpy math); tiny problems are dominated by
+    # XLA compile/dispatch otherwise.
+    _HOST_PHASE1_MAX_CELLS = 1 << 22
+
+    def _candidates_host(self, seq_codes):
+        """Host mirror of the phase-1 prefilter for tiny workloads."""
+        n = len(seq_codes)
+        L = self.Lmax
+        padded = np.zeros(n + 2 * L, dtype=np.uint8)
+        padded[L:L + n] = seq_codes
+        # windows[a] = padded codes at alignment a-L+ ... build via
+        # stride tricks: alignment a in [-(L-1), n-1]
+        # Row r corresponds to alignment a = r - (L-1); window (r, j)
+        # reads padded[L + a + j] = padded[r + j + 1]
+        num_align = n + L - 1
+        idx = (np.arange(num_align)[:, None] + np.arange(L)[None, :])
+        win = padded[idx + 1]
+        probes = self.probe_codes  # (P, L)
+        match = (win[:, None, :] == probes[None, :, :]) & (win[:, None, :] > 0)
+        counts = match.sum(axis=2, dtype=np.int32)  # (num_align, P)
+
+        a = np.arange(num_align) - (L - 1)
+        lens = self.probe_lens[None, :]
+        ov = np.minimum(n, a[:, None] + lens) - np.maximum(0, a[:, None])
+        ov = np.maximum(ov, 0)
+        thres = np.minimum(np.minimum(self.lcf_static, lens), n)
+        if self.K_static is None:
+            need = np.full_like(counts, self.k_seed)
+        else:
+            need = np.maximum(thres - self.K_static, self.k_seed)
+        cand = ((ov >= np.maximum(thres, self.k_seed)) & (counts >= need)
+                & (lens > 0) & (thres > 0))
+        w_idx, p_idx = np.nonzero(cand)
+        return (p_idx.astype(np.int64),
+                (w_idx - (L - 1)).astype(np.int64))
+
     def _candidates_for_sequence(self, seq_codes):
         """Yield (probe_idx, alignment) candidate arrays for a sequence."""
         n = len(seq_codes)
+        if (n + self.Lmax - 1) * len(self.probes) * self.Lmax \
+                <= self._HOST_PHASE1_MAX_CELLS:
+            return self._candidates_host(seq_codes)
         n_pad = encode.next_pow2(max(n, 1))
         padded = np.zeros(n_pad + 2 * self.Lmax, dtype=np.uint8)
         padded[self.Lmax:self.Lmax + n] = seq_codes

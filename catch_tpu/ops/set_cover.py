@@ -480,6 +480,116 @@ def solve_instance(inst, force_device=None):
     return _solve_host(inst)
 
 
+def _merge_by_group(group_key, starts, ends):
+    """Merge overlapping/touching intervals within each group.
+
+    Args:
+        group_key: int64[M] group id per interval (need not be sorted)
+        starts, ends: int64[M]
+
+    Returns:
+        (group_key, starts, ends) of the merged intervals, sorted by
+        (group, start).
+    """
+    if len(starts) == 0:
+        return group_key, starts, ends
+    order = np.lexsort((ends, starts, group_key))
+    g = group_key[order]
+    s = starts[order]
+    e = ends[order]
+    # Shift each group into a disjoint coordinate band so a single
+    # global running max implements a per-group running max.
+    big = np.int64(max(int(e.max()) - int(s.min()) + 2, 2))
+    gi = np.cumsum(np.concatenate(([0], (np.diff(g) != 0).astype(np.int64))))
+    s_off = s - s.min() + gi * big
+    e_off = e - s.min() + gi * big
+    run_end = np.maximum.accumulate(e_off)
+    new_run = np.empty(len(s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = s_off[1:] > run_end[:-1]
+    run_idx = np.flatnonzero(new_run)
+    m_start = s[run_idx]
+    m_end = np.maximum.reduceat(e_off, run_idx) - gi[run_idx] * big \
+        + s.min()
+    return g[run_idx], m_start, m_end
+
+
+def build_instance_from_cover_arrays(set_ids, univ_ids, starts, ends,
+                                     n_sets, n_universes, universe_p,
+                                     ranks=None, costs=None):
+    """Build a SetCoverInstance directly from flat cover arrays.
+
+    The fast path for the probe-design pipeline: the cover engine emits
+    (probe set_id, universe j, start, end) spans in genome-global
+    coordinates; no per-probe Python dicts are materialized (unlike the
+    reference's sets-of-IntervalSets, set_cover_filter.py:359-470).
+
+    Args:
+        set_ids, univ_ids, starts, ends: int arrays, one entry per
+            cover interval (within-universe coordinates)
+        n_sets: total number of candidate sets (ids 0..n_sets-1)
+        n_universes: number of universes (ids 0..n_universes-1)
+        universe_p: float64[n_universes] required coverage fraction
+        ranks: int64[n_sets] (default all 1)
+        costs: float32[n_sets] (default all 1)
+
+    Returns:
+        SetCoverInstance
+    """
+    set_ids = np.asarray(set_ids, dtype=np.int64)
+    univ_ids = np.asarray(univ_ids, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    universe_p = np.asarray(universe_p, dtype=np.float64)
+
+    if costs is None:
+        cost = np.ones(n_sets, dtype=np.float32)
+    else:
+        cost = np.asarray(costs, dtype=np.float32)
+    if ranks is None:
+        rank_arr = np.ones(n_sets, dtype=np.int64)
+    else:
+        rank_arr = np.asarray(ranks, dtype=np.int64)
+    rank_vals = np.unique(rank_arr)
+    rank_idx = np.searchsorted(rank_vals, rank_arr).astype(np.int32)
+
+    # Universe spans = max end seen per universe (coordinates are local
+    # to the universe; the global axis concatenates them).
+    u_span = np.zeros(n_universes, dtype=np.int64)
+    if len(starts):
+        np.maximum.at(u_span, univ_ids, ends)
+    offsets = np.zeros(n_universes + 1, dtype=np.int64)
+    np.cumsum(u_span, out=offsets[1:])
+    u_len = int(offsets[-1])
+
+    g_start = starts + offsets[univ_ids]
+    g_end = ends + offsets[univ_ids]
+
+    # Merge per (set, universe); pair key = set * nU + univ
+    pair_key = set_ids * n_universes + univ_ids
+    mk, ms, me = _merge_by_group(pair_key, g_start, g_end)
+    pair_ids, pair_of_ivl = np.unique(mk, return_inverse=True)
+    set_of_pair = (pair_ids // n_universes).astype(np.int32)
+    univ_of_pair = (pair_ids % n_universes).astype(np.int32)
+
+    # Universe sizes: union of all intervals per universe (sweep).
+    u_size = np.zeros(n_universes, dtype=np.int64)
+    if len(ms):
+        uk, us, ue = _merge_by_group(univ_of_pair[pair_of_ivl].astype(
+            np.int64), ms, me)
+        np.add.at(u_size, uk, ue - us)
+
+    can_uncover = (u_size - universe_p * u_size).astype(np.int64)
+
+    return SetCoverInstance(
+        n_sets=n_sets, n_universes=n_universes, u_size=u_size,
+        can_uncover=can_uncover, ivl_start=ms, ivl_end=me,
+        pair_of_ivl=pair_of_ivl.astype(np.int32),
+        set_of_pair=set_of_pair, univ_of_pair=univ_of_pair,
+        cost=cost, rank_idx=rank_idx, n_rank_vals=len(rank_vals),
+        u_len=u_len, pos_univ_offsets=offsets)
+
+
 # ----------------------------------------------------------------------
 # Reference-parity host API
 # ----------------------------------------------------------------------

@@ -1,0 +1,240 @@
+"""Clustering input sequences by MinHash similarity (Mash-style).
+
+Capability parity with the reference
+(/root/reference/catch/utils/cluster.py:28-431): MinHash signatures with
+one shared hash function, Mash-distance -> Jaccard-distance conversion,
+average-linkage hierarchical clustering (scipy) and 'simple' connected
+components with an early-stop heuristic; the
+``cluster_with_minhash_signatures`` facade.
+
+TPU-native design: the reference fills a condensed distance matrix with
+a fork-based process pool (cluster.py:107-194) and parallelizes the DFS
+neighborhood scans the same way (:274-331).  Here all pairwise distances
+are computed on device: signatures live as an (n, N) int32 matrix, and
+one jitted vmapped kernel evaluates a full row of capped-union MinHash
+collision counts at once (exactly the reference's sorted-merge
+estimator, lsh.py:166-215, vectorized).  The DFS / linkage logic stays
+on host.
+"""
+
+from collections import defaultdict
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from catch_tpu.utils import lsh
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["make_signatures_with_minhash", "cluster_with_minhash_signatures",
+           "find_connected_components",
+           "cluster_hierarchically_from_dist_matrix"]
+
+
+def make_signatures_with_minhash(family, seqs):
+    """Signature per sequence using one shared MinHash function.
+
+    Args:
+        family: lsh.MinHashFamily
+        seqs: dict mapping sequence header to sequence
+
+    Returns:
+        dict mapping header to signature tuple
+    """
+    h = family.make_h()
+    return {name: h(seq) for name, seq in seqs.items()}
+
+
+def _jaccard_dist_from_mash_dist(mash_dist, k):
+    """Mash distance (≈1-ANI) -> Jaccard distance
+    (reference cluster.py:47-67, from Eq. 4 of Ondov et al. 2016)."""
+    return 1.0 - 1.0 / (2.0 * np.exp(k * mash_dist) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _row_dists_kernel(sigs, j, *, N):
+    """Jaccard distances of signature j against all signatures.
+
+    Implements the reference's sorted-merge estimator with the
+    union-rank cap at N: a shared hash value v (present in both
+    signatures) is counted iff its union rank (#A<v + #B<v - #shared<v
+    + 1) is <= N.  With both signatures of length N the union scan
+    always consumes exactly N values, so the denominator is N.
+    """
+    A = sigs[j]
+
+    def pair(B):
+        idx = jnp.searchsorted(A, B)
+        is_match = (idx < N) & (A[jnp.minimum(idx, N - 1)] == B)
+        cA = idx
+        cB = jnp.arange(N)
+        cM_excl = jnp.cumsum(is_match) - is_match
+        capped = is_match & (cA + cB - cM_excl + 1 <= N)
+        return 1.0 - jnp.sum(capped) / N
+
+    return jax.vmap(pair)(sigs)
+
+
+class _DeviceDistances:
+    """Device-resident signature matrix with row-at-a-time distances."""
+
+    def __init__(self, signatures):
+        self.n = len(signatures)
+        self.N = len(signatures[0]) if self.n else 0
+        mat = np.asarray(signatures, dtype=np.int64)
+        # Hash values are < 2^31 - 1; int32 is exact
+        self.sigs = jnp.asarray(mat.astype(np.int32))
+
+    def row(self, j):
+        """Distances of signature j to all signatures (np.float32[n])."""
+        return np.asarray(_row_dists_kernel(self.sigs, jnp.int32(j),
+                                            N=self.N))
+
+
+def cluster_hierarchically_from_dist_matrix(dist_matrix, threshold):
+    """Average-linkage clustering of a condensed distance matrix
+    (reference cluster.py:195-233)."""
+    from scipy.cluster import hierarchy
+
+    if len(dist_matrix) == 0:
+        return [[0]]
+
+    linkage = hierarchy.linkage(dist_matrix, method="average")
+    clusters = hierarchy.fcluster(linkage, threshold, criterion="distance")
+
+    first_clust_num = min(clusters)
+    num_clusters = max(clusters) + 1 - first_clust_num
+    elements_in_cluster = defaultdict(list)
+    for i, clust_num in enumerate(clusters):
+        elements_in_cluster[clust_num].append(i)
+    cluster_sizes = {c: len(elements_in_cluster[c])
+                     for c in range(first_clust_num,
+                                    num_clusters + first_clust_num)}
+    out = []
+    for clust_num, _ in sorted(cluster_sizes.items(),
+                               key=lambda t: t[1], reverse=True):
+        out.append(elements_in_cluster[clust_num])
+    return out
+
+
+def find_connected_components(n, row_dist_fn, threshold,
+                              early_stop_threshold=None):
+    """Connected components by thresholded distances (reference
+    cluster.py:236-355), with per-row batched distance evaluation.
+
+    Args:
+        n: number of elements
+        row_dist_fn: function j -> np.array of distances from j to all
+            elements (only entries for unvisited candidates are used)
+        threshold: adjacency threshold (Jaccard distance)
+        early_stop_threshold: if d(i, j) <= this, j is marked visited
+            without exploring its neighborhood (default: jaccard dist of
+            mash 0.02 at k=12, as in the reference)
+
+    Returns:
+        list of sorted index lists, in decreasing size order
+    """
+    if early_stop_threshold is None:
+        early_stop_threshold = _jaccard_dist_from_mash_dist(0.02, 12)
+
+    indices_to_consider = set(range(n))
+
+    def dfs(i):
+        visited = set()
+        to_visit = [i]
+        seen = {i}
+        while to_visit:
+            j = to_visit.pop()
+            if j in visited:
+                continue
+            visited.add(j)
+            candidates = [k for k in indices_to_consider if k not in seen]
+            if not candidates:
+                continue
+            dists = row_dist_fn(j)
+            for k in candidates:
+                dist = dists[k]
+                if dist <= threshold:
+                    if dist <= early_stop_threshold:
+                        visited.add(k)
+                        seen.add(k)
+                    else:
+                        to_visit.append(k)
+                        seen.add(k)
+        return visited
+
+    previously_visited = set()
+    components = []
+    for i in range(n):
+        if i in previously_visited:
+            continue
+        cc = dfs(i)
+        previously_visited.update(cc)
+        indices_to_consider -= cc
+        components.append(sorted(cc))
+    components.sort(key=len, reverse=True)
+    return components
+
+
+def create_condensed_dist_matrix(n, row_dist_fn):
+    """Condensed (scipy-form) distance matrix from batched row evals."""
+    if n <= 1:
+        return np.empty(0, dtype=np.float64)
+    out = np.empty(n * (n - 1) // 2, dtype=np.float64)
+    for i in range(n - 1):
+        row = row_dist_fn(i)
+        start = i * n - i * (i + 1) // 2 - i - 1
+        out[start + i + 1:start + n] = row[i + 1:n]
+    return out
+
+
+def cluster_with_minhash_signatures(seqs, k=12, N=100, threshold=0.1,
+                                    cluster_method="simple"):
+    """Cluster sequences by MinHash signatures (reference
+    cluster.py:358-430).
+
+    Args:
+        seqs: dict mapping sequence header to sequence
+        k: k-mer size for hashing
+        N: signature size
+        threshold: clustering threshold in average nucleotide
+            dissimilarity (1-ANI); converted internally to Jaccard
+        cluster_method: 'simple' (connected components) or
+            'hierarchical' (average linkage)
+
+    Returns:
+        list of collections of sequence headers, descending size order
+    """
+    num_seqs = len(seqs)
+    logger.info("Producing signatures of %d sequences", num_seqs)
+    family = lsh.MinHashFamily(k, N=N)
+    signatures_map = make_signatures_with_minhash(family, seqs)
+
+    seq_headers = list(seqs.keys())
+    signatures = [signatures_map[name] for name in seq_headers]
+    jaccard_dist_threshold = _jaccard_dist_from_mash_dist(threshold, k)
+
+    dd = _DeviceDistances(signatures)
+
+    if cluster_method == "simple":
+        logger.info(
+            "Clustering %d sequences at Jaccard distance threshold of %f "
+            "based on connected components", num_seqs,
+            jaccard_dist_threshold)
+        clusters = find_connected_components(num_seqs, dd.row,
+                                             jaccard_dist_threshold)
+    elif cluster_method == "hierarchical":
+        logger.info(
+            "Clustering %d sequences at Jaccard distance threshold of %f "
+            "using hierarchical method", num_seqs, jaccard_dist_threshold)
+        dist_matrix = create_condensed_dist_matrix(num_seqs, dd.row)
+        clusters = cluster_hierarchically_from_dist_matrix(
+            dist_matrix, jaccard_dist_threshold)
+    else:
+        raise ValueError(f"Unknown cluster_method '{cluster_method}'")
+
+    return [[seq_headers[i] for i in cluster_idxs]
+            for cluster_idxs in clusters]
