@@ -1,0 +1,181 @@
+"""Tests for the pool optimizer (interpolation + parameter search).
+
+Ported from /root/reference/catch/pool/tests/test_param_search.py,
+driven by the real published probe-count grids in tests/data.
+"""
+
+import logging
+import pathlib
+
+import numpy as np
+import pytest
+
+from catch_tpu.pool import param_search
+from catch_tpu.utils import pool_probes_io
+
+DATA = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.fixture(autouse=True)
+def _quiet_and_seed():
+    logging.disable(logging.WARNING)
+    np.random.seed(1)
+    yield
+    logging.disable(logging.NOTSET)
+
+
+class TestHelperFunctions:
+    def test_bounds_and_initial_guess_standard(self):
+        pc = {"d1": {(1, 10): 6000, (2, 10): 5000, (2, 20): 4500,
+                     (4, 10): 4000, (4, 20): 3000, (5, 20): 2500}}
+        bounds = param_search._make_param_bounds_standard(pc)
+        x0 = param_search._make_initial_guess(pc, bounds, 2)
+        assert 2 <= x0[0] <= 4
+        assert 10 <= x0[1] <= 20
+
+    def test_bounds_and_initial_guess_nd(self):
+        pc = {"d1": {(1, 0): 6000, (2, 10): 5000, (2, 20): 4500,
+                     (4, 10): 4000, (4, 20): 3000, (4, 30): 2500},
+              "d2": {(6, 40): 10, (7, 60): 20}}
+        x0 = param_search._make_initial_guess(pc, None, 2)
+        assert tuple(x0[0:2]) in pc["d1"].keys()
+        assert tuple(x0[2:4]) in pc["d2"].keys()
+
+    def test_round_params(self):
+        pc = {"d1": {(1, 0): 6000, (1, 10): 5500, (1, 20): 5400,
+                     (2, 10): 5000, (2, 20): 4500, (4, 10): 4000,
+                     (4, 20): 3000, (4, 30): 2500},
+              "d2": {(2, 10): 10000, (3, 0): 2000, (3, 10): 1100,
+                     (4, 10): 1000, (2, 20): 9000, (3, 20): 900,
+                     (4, 20): 10}}
+        loss_coeffs = (1.0, 1.0 / 100.0)
+        weights = {"d1": 1.0, "d2": 1.0}
+
+        rounded = param_search._round_params(
+            [2.5, 12, 4, 15], pc, 4560, loss_coeffs, weights,
+            mismatches_round=1, cover_extension_round=10)
+        assert rounded == [2, 20, 4, 20]
+
+        rounded = param_search._round_params(
+            [2.5, 12.3, 4, 14.2], pc, 5500, loss_coeffs, weights,
+            mismatches_round=1, cover_extension_round=1)
+        for v in rounded:
+            assert v == int(v)
+
+
+class TestSearchFunctions:
+    @pytest.fixture(scope="class")
+    def vwafr(self):
+        return pool_probes_io.read_table_of_probe_counts(
+            str(DATA / "num-probes.V-WAfr.201506.tsv"))
+
+    def _check_typical(self, search_fn, opt_check=True):
+        for max_total_count in [90000, 200000]:
+            opt_params, opt_params_count, _ = search_fn(max_total_count)
+            assert opt_params_count <= max_total_count
+            assert opt_params_count > 0.9 * max_total_count
+            ebov_m, ebov_ce = opt_params["ebola_zaire-with-2014"]
+            assert ebov_m <= 3
+            assert ebov_ce <= 20
+            hiv1_m, hiv1_ce = opt_params["hiv1_without_ltr"]
+            assert hiv1_m > 3 or hiv1_ce > 20
+
+    def test_standard_search_vwafr_typical_counts(self, vwafr):
+        param_names, probe_counts = vwafr
+        assert param_names == ("mismatches", "cover_extension")
+        self._check_typical(
+            lambda c: param_search.standard_search(probe_counts, c))
+
+    def test_standard_search_vwafr_high_count(self, vwafr):
+        _, probe_counts = vwafr
+        opt_params, opt_params_count, _ = param_search.standard_search(
+            probe_counts, 1000000)
+        assert opt_params_count < 1000000
+        for dataset, (m, ce) in opt_params.items():
+            assert m == 0
+            assert ce == 0
+
+    def test_standard_search_vwafr_too_small_counts(self, vwafr):
+        _, probe_counts = vwafr
+        for max_total_count in [1, 1000, 10000]:
+            with pytest.raises(
+                    param_search.CannotSatisfyProbeCountConstraintError):
+                param_search.standard_search(probe_counts,
+                                             max_total_count)
+
+    def test_higher_dimensional_search_vwafr_typical_counts(self, vwafr):
+        param_names, probe_counts = vwafr
+        self._check_typical(
+            lambda c: param_search.higher_dimensional_search(
+                param_names, probe_counts, c,
+                loss_coeffs=(1.0, 1.0 / 100.0)))
+
+    def test_higher_dimensional_search_vwafr_too_small_counts(self, vwafr):
+        param_names, probe_counts = vwafr
+        for max_total_count in [1, 1000, 10000]:
+            with pytest.raises(
+                    param_search.CannotSatisfyProbeCountConstraintError):
+                param_search.higher_dimensional_search(
+                    param_names, probe_counts, max_total_count,
+                    loss_coeffs=(1.0, 1.0 / 100.0))
+
+    def test_higher_dimensional_search_vwafr_with_third_param(self, vwafr):
+        _, probe_counts_vwafr = vwafr
+        param_names = ("mismatches", "cover_extension", "p3")
+        pc = {}
+        for dataset in probe_counts_vwafr.keys():
+            pc[dataset] = {}
+            for param_vals, count in probe_counts_vwafr[dataset].items():
+                for k in [0, 10, 20, 30, 40]:
+                    new_count = count + 100000 * (k / 20.0 - 1) ** 2
+                    pc[dataset][tuple(list(param_vals) + [k])] = new_count
+        opt_params, opt_params_count, _ = \
+            param_search.higher_dimensional_search(
+                param_names, pc, 150000, loss_coeffs=(1.0, 1.0, 1.0))
+        assert opt_params_count < 150000
+        for dataset, (m, ce, p3) in opt_params.items():
+            assert 10 <= p3 <= 30
+
+    def test_standard_search_vwafr_with_coefficients(self, vwafr):
+        _, probe_counts = vwafr
+        opt_params, opt_params_count, _ = param_search.standard_search(
+            probe_counts, 50000, loss_coeffs=(0.01, 1.0))
+        assert opt_params_count < 50000
+        for dataset, (m, ce) in opt_params.items():
+            assert m > 5
+
+    def test_standard_search_vwafr_with_dataset_weights(self, vwafr):
+        _, probe_counts = vwafr
+        dataset_weights = {d: 1.0 for d in probe_counts.keys()}
+        dataset_weights["hiv1_without_ltr"] = 1000.0
+        dataset_weights["hepatitis_c"] = 1000.0
+        opt_params, opt_params_count, _ = param_search.standard_search(
+            probe_counts, 420000, dataset_weights=dataset_weights)
+        assert opt_params_count < 420000
+        for d in ["hiv1_without_ltr", "hepatitis_c"]:
+            m, ce = opt_params[d]
+            assert m <= 2
+            assert ce <= 20
+
+
+class TestPoolProbesIO:
+    def test_roundtrip(self, tmp_path):
+        param_names, probe_counts = \
+            pool_probes_io.read_table_of_probe_counts(
+                str(DATA / "num-probes.V-WAfr.201506.tsv"))
+        assert param_names == ("mismatches", "cover_extension")
+        assert "ebola_zaire-with-2014" in probe_counts
+        out = tmp_path / "params.tsv"
+        vals = {d: (1, 10) for d in probe_counts}
+        pool_probes_io.write_param_values_across_datasets(
+            param_names, vals, str(out))
+        lines = out.read_text().splitlines()
+        assert lines[0] == "dataset\tmismatches\tcover_extension"
+        assert len(lines) == len(probe_counts) + 1
+
+    def test_weights_missing_dataset(self, tmp_path):
+        wf = tmp_path / "w.tsv"
+        wf.write_text("dataset\tweight\nd1\t1.0\n")
+        with pytest.raises(Exception):
+            pool_probes_io.read_table_of_dataset_weights(
+                str(wf), ["d1", "d2"])
