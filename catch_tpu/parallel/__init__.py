@@ -1,0 +1,20 @@
+"""Multi-device (mesh) execution for catch-tpu.
+
+The reference parallelizes with fork-based process pools on one host
+(/root/reference/catch/probe.py:766-1005, base_filter.py:111-165,
+set_cover_filter.py:848-900, cluster.py:107-194).  Here the equivalents
+are jax.sharding over a Mesh:
+
+- P1 (sequence scan): alignment positions sharded across devices; each
+  device match-counts its alignment block against the (replicated)
+  probe tensor on its MXU (catch_tpu/parallel/cover.py).
+- P3 (set cover): candidate sets sharded across devices; each greedy
+  iteration computes per-set scores locally and merges the pick with
+  psum/pmin collectives (catch_tpu/parallel/set_cover.py).
+- P2/P4 (per-group filtering, pairwise distances) remain host loops
+  over device-resident batched kernels; groups are independent.
+"""
+
+from catch_tpu.parallel.mesh import make_mesh
+from catch_tpu.parallel.set_cover import solve_instance_sharded
+from catch_tpu.parallel.cover import sharded_match_counts

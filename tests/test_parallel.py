@@ -1,0 +1,103 @@
+"""Multi-device equivalence tests on the virtual 8-device CPU mesh.
+
+The TPU analog of the reference's "same output for num_processes in
+{None,1,2,4}" tests (/root/reference/catch/filter/tests/
+test_set_cover_filter.py:134-175): device count must not change results.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from catch_tpu.ops import encode, set_cover
+from catch_tpu.parallel import (make_mesh, sharded_match_counts,
+                                solve_instance_sharded)
+
+
+def _random_instance(rng, n_sets=40, n_universes=4, u_size=200):
+    sets = {}
+    for sid in range(n_sets):
+        per_u = {}
+        for u in range(n_universes):
+            if rng.random() < 0.3:
+                continue
+            k = rng.randint(1, u_size // 2)
+            per_u[u] = set(rng.sample(range(u_size), k))
+        if per_u:
+            sets[sid] = per_u
+    costs = {sid: rng.choice([1.0, 2.0, 3.0]) for sid in sets}
+    ranks = {sid: rng.choice([1, 1, 1, 2, 5]) for sid in sets}
+    universe_p = {u: rng.choice([0.5, 0.9, 1.0]) for u in range(n_universes)}
+    return sets, costs, ranks, universe_p
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_set_cover_matches_host(n_devices):
+    rng = random.Random(101)
+    for trial in range(3):
+        sets, costs, ranks, universe_p = _random_instance(rng)
+        inst, set_ids = set_cover.build_instance(
+            sets, costs=costs, universe_p=universe_p, ranks=ranks)
+        expected = set_cover.solve_instance(inst, force_device=False)
+        mesh = make_mesh(n_devices)
+        got = solve_instance_sharded(inst, mesh=mesh)
+        assert got.tolist() == expected.tolist(), \
+            f"trial {trial}, n_devices {n_devices}"
+
+
+def test_sharded_set_cover_single_universe():
+    sets = {0: {0: {1, 2}, 1: {1}}, 1: {0: {1, 2, 4}},
+            2: {1: {2, 3}}, 3: {0: {4, 5}, 1: {4}}}
+    inst, set_ids = set_cover.build_instance(sets)
+    expected = set_cover.solve_instance(inst, force_device=False)
+    got = solve_instance_sharded(inst, mesh=make_mesh(8))
+    assert got.tolist() == expected.tolist()
+
+
+def test_sharded_set_cover_ranks_tiering():
+    # Rank-0 sets must be exhausted before rank-1 sets are touched
+    sets = {0: {0: {0, 1}}, 1: {0: {2, 3}}, 2: {0: {0, 1, 2, 3}}}
+    ranks = {0: 0, 1: 0, 2: 1}
+    inst, set_ids = set_cover.build_instance(sets, ranks=ranks)
+    got = solve_instance_sharded(inst, mesh=make_mesh(4))
+    chosen = {set_ids[i] for i in got.tolist()}
+    assert chosen == {0, 1}
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_match_counts(n_devices):
+    rng = np.random.RandomState(7)
+    seq = "".join(rng.choice(list("ACGT"), size=301))
+    probes = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(9)]
+    probes.append(seq[50:90])  # guaranteed exact hit
+
+    alpha = encode.make_alphabet(
+        [encode.encode_bytes(s) for s in probes + [seq]])
+    seq_codes = alpha.encode(encode.encode_bytes(seq))
+    probe_codes = encode.pad_and_stack(
+        [alpha.encode(encode.encode_bytes(p)) for p in probes])
+
+    counts = sharded_match_counts(seq_codes, probe_codes,
+                                  make_mesh(n_devices))
+    L = probe_codes.shape[1]
+    n = len(seq)
+    assert counts.shape == (n + L - 1, len(probes))
+    # Exact-hit probe: alignment a=50 -> row 50 + L - 1
+    assert counts[50 + L - 1, len(probes) - 1] == 40
+
+    # Host oracle on a few alignments
+    for a in [-20, 0, 50, 123, n - 10]:
+        r = a + L - 1
+        for p_i, p in enumerate(probes):
+            expect = sum(
+                1 for j in range(len(p))
+                if 0 <= a + j < n and seq[a + j] == p[j])
+            assert counts[r, p_i] == expect, (a, p_i)
+
+
+def test_make_mesh_too_many_devices():
+    with pytest.raises(ValueError):
+        make_mesh(len(jax.devices()) + 1)
