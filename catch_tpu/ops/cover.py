@@ -41,6 +41,7 @@ window) and phase 2 is skipped.
 from collections import defaultdict
 import functools
 import logging
+import os
 
 import numpy as np
 import jax
@@ -61,6 +62,10 @@ __all__ = [
 NA_BLK = 16384
 P_BLK = 4096
 _CAP_START = 1 << 15
+
+# Rolling-hash multiplier for k-mer seed codes (odd 64-bit; golden
+# ratio).  Collisions only add phase-2 work, never wrong output.
+_JOIN_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
 class CoverModel:
@@ -300,12 +305,138 @@ class ProbeSearcher:
         return (p_idx.astype(np.int64),
                 (w_idx - (L - 1)).astype(np.int64))
 
+    # ------------------------------------------------------------------
+    # Phase 1 via exact k-mer seed join (the scalable path)
+    # ------------------------------------------------------------------
+    #
+    # Exhaustive seeding without the dense (alignment x probe) scan:
+    # hash every k_seed-mer of every probe (all offsets) into one sorted
+    # table, hash the sequence's k-mers, and join.  Any qualifying cover
+    # must contain a run of >= k_seed consecutive matches (the engine's
+    # seed requirement, see module docstring), i.e. an exact shared
+    # k-mer, so the join finds exactly the candidates the dense scan
+    # admits to phase 2 (minus pairs with no exact seed, which phase 2
+    # rejects anyway).  The sparse phase-1 predicate (overlap + match
+    # count) is then evaluated only on joined pairs, making the final
+    # covers identical to the dense path in every mode.
+    #
+    # This is the TPU-era replacement of the reference's k-mer hash map
+    # (/root/reference/catch/probe.py:356-577): deterministic and
+    # exhaustive (recall >= the reference's Monte-Carlo sampling),
+    # vectorized end to end, no shared-memory fork protocol.
+
+    def _rolling_hashes(self, codes_2d):
+        """Rolling k_seed-mer hashes along the last axis.
+
+        Returns (hashes, valid): hashes[..., i] covers codes[..., i:i+k];
+        valid marks windows free of PAD (code 0).
+        """
+        k = self.k_seed
+        W = codes_2d.shape[-1] - k + 1
+        if W <= 0:
+            shape = codes_2d.shape[:-1] + (0,)
+            return (np.zeros(shape, np.uint64), np.zeros(shape, bool))
+        c = codes_2d.astype(np.uint64)
+        h = np.zeros(codes_2d.shape[:-1] + (W,), dtype=np.uint64)
+        ok = np.ones(h.shape, dtype=bool)
+        for j in range(k):
+            cj = c[..., j:j + W]
+            h *= _JOIN_MULT
+            h += cj
+            ok &= cj > 0
+        return h, ok
+
+    def _build_join_table(self):
+        h, ok = self._rolling_hashes(self.probe_codes)
+        pi, pos = np.nonzero(ok)
+        hv = h[pi, pos]
+        order = np.argsort(hv, kind="stable")
+        self._join_h = hv[order]
+        self._join_p = pi[order].astype(np.int64)
+        self._join_pos = pos[order].astype(np.int64)
+
+    def _candidates_join(self, seq_codes):
+        """Phase 1 by k-mer join; returns predicate-passing (p, a)."""
+        if getattr(self, "_join_h", None) is None:
+            self._build_join_table()
+        n = len(seq_codes)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        h, ok = self._rolling_hashes(seq_codes[None, :])
+        pos_seq = np.flatnonzero(ok[0])
+        if len(pos_seq) == 0 or len(self._join_h) == 0:
+            return empty
+        hs = h[0][pos_seq]
+        lo = np.searchsorted(self._join_h, hs, side="left")
+        hi = np.searchsorted(self._join_h, hs, side="right")
+        cnt = hi - lo
+        nz = cnt > 0
+        lo, cnt, pos_seq = lo[nz], cnt[nz], pos_seq[nz]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        idx = (np.repeat(lo, cnt)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(csum[:-1], cnt))
+        p = self._join_p[idx]
+        a = np.repeat(pos_seq, cnt) - self._join_pos[idx]
+        # Dedup (probe, alignment) pairs
+        span = np.int64(n + self.Lmax)
+        key = np.unique(p * span + (a + self.Lmax - 1))
+        p = key // span
+        a = key % span - (self.Lmax - 1)
+        # Sparse phase-1 predicate (same as the dense tile's `cand`)
+        lens = self.probe_lens[p].astype(np.int64)
+        ov = np.minimum(n, a + lens) - np.maximum(0, a)
+        thres = np.minimum(np.minimum(self.lcf_static, lens), n)
+        keep = (ov >= np.maximum(thres, self.k_seed)) & (thres > 0)
+        p, a = p[keep], a[keep]
+        if len(p) == 0:
+            return empty
+        # The match-count predicate is only needed when phase 2 will be
+        # skipped (the fast path takes candidates as covers verbatim);
+        # otherwise _verify re-derives the full match vector anyway.
+        fast = self.fast_ok and (
+            n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
+        if self.K_static is not None and fast:
+            counts = self._pair_match_counts(seq_codes, p, a)
+            lens = self.probe_lens[p].astype(np.int64)
+            thres = np.minimum(np.minimum(self.lcf_static, lens), n)
+            keep = counts >= np.maximum(thres - self.K_static, self.k_seed)
+            p, a = p[keep], a[keep]
+        return p, a
+
+    def _pair_match_counts(self, seq_codes, p, a, chunk=1 << 17):
+        """Exact match counts over the overlap for candidate pairs."""
+        n = len(seq_codes)
+        L = self.Lmax
+        out = np.empty(len(p), dtype=np.int64)
+        j = np.arange(L)
+        for c0 in range(0, len(p), chunk):
+            sl = slice(c0, c0 + chunk)
+            pc, ac = p[sl], a[sl]
+            start = np.maximum(0, ac)
+            lens = self.probe_lens[pc].astype(np.int64)
+            ov = np.minimum(n, ac + lens) - start
+            seq_idx = start[:, None] + j[None, :]
+            seq_vals = np.where(seq_idx < n,
+                                seq_codes[np.minimum(seq_idx, n - 1)], 0)
+            probe_idx = (start - ac)[:, None] + j[None, :]
+            probe_vals = np.take_along_axis(
+                self.probe_codes[pc], np.minimum(probe_idx, L - 1), axis=1)
+            valid = j[None, :] < ov[:, None]
+            out[sl] = ((seq_vals == probe_vals) & (seq_vals > 0)
+                       & valid).sum(axis=1)
+        return out
+
     def _candidates_for_sequence(self, seq_codes):
         """Yield (probe_idx, alignment) candidate arrays for a sequence."""
         n = len(seq_codes)
         if (n + self.Lmax - 1) * len(self.probes) * self.Lmax \
                 <= self._HOST_PHASE1_MAX_CELLS:
             return self._candidates_host(seq_codes)
+        if os.environ.get("CATCH_TPU_PHASE1", "join") != "einsum":
+            return self._candidates_join(seq_codes)
         n_pad = encode.next_pow2(max(n, 1))
         padded = np.zeros(n_pad + 2 * self.Lmax, dtype=np.uint8)
         padded[self.Lmax:self.Lmax + n] = seq_codes
@@ -346,17 +477,24 @@ class ProbeSearcher:
     # Phase 2: host verification (vectorized numpy)
     # ------------------------------------------------------------------
 
-    def _verify(self, seq_codes, cand_p, cand_a):
+    def _verify(self, seq_codes, cand_p, cand_a, chunk=1 << 17):
         """Verify candidates; emit qualifying (probe_idx, start, end) spans.
 
-        Window math shared with catch_tpu.utils.lcs (see module docstring).
+        Window math shared with catch_tpu.utils.lcs (see module
+        docstring).  Candidates are processed in chunks to bound host
+        memory (each chunk materializes O(chunk x Lmax) scratch).
         """
-        n = len(seq_codes)
         C = len(cand_p)
         if C == 0:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.int64))
+        if C > chunk and self.model.custom_fn is None:
+            parts = [self._verify(seq_codes, cand_p[c0:c0 + chunk],
+                                  cand_a[c0:c0 + chunk])
+                     for c0 in range(0, C, chunk)]
+            return tuple(np.concatenate(x) for x in zip(*parts))
+        n = len(seq_codes)
         L = self.Lmax
         K = self.K_static
         k_seed = self.k_seed
@@ -383,17 +521,23 @@ class ProbeSearcher:
             return self._verify_custom(seq_codes, cand_p, cand_a, start, ov,
                                        match, lens, n)
 
-        # Sorted mismatch positions with sentinels: P[:,0] = -1,
-        # then mismatch positions, then ov (as fill).
-        mism_pos = np.where(valid & ~match, j[None, :], ov[:, None])
-        mism_pos.sort(axis=1)
-        nm = (mism_pos < ov[:, None]).sum(axis=1)
+        # Sorted mismatch positions with sentinels: P[:,0] = -1, then
+        # mismatch positions, then ov (as fill).  Mismatches are sparse
+        # for real candidates (they share a seed), so scatter them into
+        # place by within-row rank instead of sorting (O(total
+        # mismatches) vs O(C L log L)).
+        mask = valid & ~match
+        nm = mask.sum(axis=1)
+        C_here = len(cand_p)
         Kk = K
-        P = np.full((C, L + Kk + 2), 0, dtype=np.int64)
+        P = np.empty((C_here, L + Kk + 2), dtype=np.int64)
+        P[:] = ov[:, None]
         P[:, 0] = -1
-        P[:, 1:L + 1] = mism_pos
-        P[:, L + 1:] = ov[:, None]
-        # Entries past nm hold ov already (fill value of mism_pos)
+        rows, cols = np.nonzero(mask)
+        if len(rows):
+            k_in_row = (np.arange(len(rows))
+                        - np.searchsorted(rows, rows, side="left"))
+            P[rows, 1 + k_in_row] = cols
 
         # Maximal windows t: (P[t], P[t+K+1]) exclusive, t in 0..nm
         t_cols = L + 1

@@ -49,10 +49,13 @@ __all__ = ["approx", "approx_multiuniverse", "SetCoverInstance",
            "solve_instance"]
 
 # Instances with a global position axis at most this long are solved by
-# the exact numpy mirror of the device step (tiny instances are
-# compile-bound on device; the two paths are bit-identical — see
-# tests/test_set_cover.py device-parity test).
-_HOST_SOLVE_MAX_ULEN = 1 << 16
+# the exact numpy mirror of the device step (the two paths are
+# bit-identical — see tests/test_set_cover.py device-parity test).  The
+# host mirror is O(u_len + intervals) per pick with small constants
+# (~10 ms/pick at u_len 3M); the device while-loop wins only when the
+# axis is tens of millions long, where its per-pick cost stays ~1 ms
+# and the one-time XLA compile (cached persistently) amortizes.
+_HOST_SOLVE_MAX_ULEN = 1 << 23
 
 
 def _next_pow2(x):

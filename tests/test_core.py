@@ -179,3 +179,22 @@ class TestSeqIO:
         first = next(iter(m.values()))
         assert len(first) > 18000
         assert set(first) <= set("ACGTN")
+
+
+class TestTimeLimit:
+    """catch_tpu.utils.timeout.time_limit
+    (parity: /root/reference/catch/utils/timeout.py:16-45)."""
+
+    def test_completes_within_limit(self):
+        from catch_tpu.utils.timeout import time_limit
+        with time_limit(5):
+            x = sum(range(10))
+        assert x == 45
+
+    def test_raises_on_timeout(self):
+        import time
+        import pytest
+        from catch_tpu.utils.timeout import (TimeoutException, time_limit)
+        with pytest.raises(TimeoutException):
+            with time_limit(1):
+                time.sleep(3)
