@@ -108,28 +108,38 @@ class SetCoverFilter(BaseFilter):
         probe_id = {}
         for i, p in enumerate(candidate_probes):
             probe_id[p] = i
+        pid_of = np.array([probe_id[p] for p in searcher.probes],
+                          dtype=np.int64) if not searcher.empty else \
+            np.empty(0, dtype=np.int64)
 
-        set_ids, univ_ids, starts, ends = [], [], [], []
+        # Flatten all chromosome sequences across genomes with per-seq
+        # (genome id, chromosome offset, length) bookkeeping; one
+        # corpus-level scan replaces the per-sequence loop.
+        sequences, seq_univ, seq_off, seq_len = [], [], [], []
         for j, gnm in enumerate(target_genomes):
-            logger.info("Computing coverage in target genome %d (of %d)",
-                        j + 1, len(target_genomes))
             length_so_far = 0
             for sequence in gnm.seqs:
-                covers = searcher.find_probe_covers(sequence)
-                for p, cover_ranges in covers.items():
-                    sid = probe_id[p]
-                    for (cs, ce) in cover_ranges:
-                        cs = max(0, cs - self.cover_extension)
-                        ce = min(len(sequence), ce + self.cover_extension)
-                        set_ids.append(sid)
-                        univ_ids.append(j)
-                        starts.append(cs + length_so_far)
-                        ends.append(ce + length_so_far)
+                sequences.append(sequence)
+                seq_univ.append(j)
+                seq_off.append(length_so_far)
+                seq_len.append(len(sequence))
                 length_so_far += len(sequence)
-        return (np.array(set_ids, dtype=np.int64),
-                np.array(univ_ids, dtype=np.int64),
-                np.array(starts, dtype=np.int64),
-                np.array(ends, dtype=np.int64))
+        seq_univ = np.array(seq_univ, dtype=np.int64)
+        seq_off = np.array(seq_off, dtype=np.int64)
+        seq_len = np.array(seq_len, dtype=np.int64)
+        logger.info("Computing coverage across %d target genomes "
+                    "(%d sequences)", len(target_genomes), len(sequences))
+
+        p_idx, s_idx, st, en = searcher.find_probe_covers_flat(sequences)
+        if len(p_idx) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy(), z.copy()
+        # Cover extension, clamped per chromosome, then offset into
+        # genome-global coordinates (reference set_cover_filter.py:414-470)
+        st = np.maximum(0, st - self.cover_extension)
+        en = np.minimum(seq_len[s_idx], en + self.cover_extension)
+        return (pid_of[p_idx], seq_univ[s_idx],
+                st + seq_off[s_idx], en + seq_off[s_idx])
 
     def _tolerant_bp_covered(self, searcher, sequence, rc_too=True):
         """Per-probe bp covered in sequence (and its reverse complement)

@@ -640,6 +640,64 @@ class ProbeSearcher:
         return self._group_spans(p_idx, span_start, span_end,
                                  merge_overlapping)
 
+    # Corpus-level batched scan pays one megakernel compile; worth it
+    # above this many (alignment x probe x probe-length) cells total.
+    _BATCH_MIN_CELLS = 1 << 34
+
+    def find_probe_covers_flat(self, sequences, force_batch=None):
+        """Unmerged cover spans of every probe across many sequences.
+
+        The corpus-scale path: large workloads run as one device
+        megakernel over all sequences at once (ops/scan_batch), small
+        ones loop the per-sequence engine.  Returns flat int64 arrays
+        (probe_idx, seq_idx, start, end) in per-sequence local
+        coordinates; spans are NOT merged (downstream consumers merge
+        per (probe, universe), which commutes with cover extension).
+
+        probe_idx indexes self.probes (the deduplicated probe list).
+        """
+        empty = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
+        if self.empty or not sequences:
+            return empty
+        total_cells = sum(
+            (len(s) + self.Lmax - 1) for s in sequences
+        ) * len(self.probes) * self.Lmax
+        use_batch = (force_batch if force_batch is not None
+                     else total_cells >= self._BATCH_MIN_CELLS)
+        if use_batch and self.model.custom_fn is not None:
+            use_batch = False
+        if use_batch:
+            from catch_tpu.ops import scan_batch
+            r = scan_batch.scan_corpus(self, sequences)
+            if r is not None:
+                return r
+        out_p, out_i, out_s, out_e = [], [], [], []
+        for i, sequence in enumerate(sequences):
+            n = len(sequence)
+            if n < self.k_seed:
+                continue
+            seq_bytes = encode.encode_bytes(sequence)
+            seq_codes = self.alphabet.encode(seq_bytes)
+            self._seq_str_cache = sequence
+            cand_p, cand_a = self._candidates_for_sequence(seq_codes)
+            fast = self.fast_ok and (
+                n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
+            if fast:
+                p_idx = cand_p
+                s = np.maximum(0, cand_a)
+                e = np.minimum(n, cand_a + self.probe_lens[cand_p])
+            else:
+                p_idx, s, e = self._verify(seq_codes, cand_p, cand_a)
+            if len(p_idx):
+                out_p.append(p_idx)
+                out_i.append(np.full(len(p_idx), i, dtype=np.int64))
+                out_s.append(s)
+                out_e.append(e)
+        if not out_p:
+            return empty
+        return (np.concatenate(out_p), np.concatenate(out_i),
+                np.concatenate(out_s), np.concatenate(out_e))
+
     def _group_spans(self, p_idx, span_start, span_end, merge_overlapping):
         if len(p_idx) == 0:
             return {}

@@ -7,6 +7,8 @@ probe recall tests (modeled on the reference's randomized engine tests,
 /root/reference/catch/tests/test_probe.py:792-941).
 """
 
+import unittest
+
 import numpy as np
 import pytest
 
@@ -257,3 +259,76 @@ def test_merge_overlapping_false_keeps_distinct():
     p = Probe.from_str("ABCD")
     got, _ = run_engine([p], seq, 0, 4, kmer_k=4, merge=False)
     assert got == {p: [(0, 4), (4, 8), (8, 12)]}
+
+
+class TestBatchedCorpusScan(unittest.TestCase):
+    """The one-dispatch megakernel (ops/scan_batch) must emit exactly
+    the per-sequence engine's spans, merged per (probe, sequence)."""
+
+    def _corpus(self, seed, n_seqs=6, lo=150, hi=900):
+        rng = np.random.RandomState(seed)
+        base = "".join(rng.choice(list("ACGT"), size=hi))
+        seqs = []
+        for i in range(n_seqs):
+            n = int(rng.randint(lo, hi))
+            # mutate a copy of a shared base so probes recur across seqs
+            s = list(base[:n])
+            for _ in range(n // 40):
+                s[rng.randint(n)] = rng.choice(list("ACGT"))
+            seqs.append("".join(s))
+        return seqs
+
+    def _assert_parity(self, model, probe_length=60, stride=25, seed=0):
+        from catch_tpu.filters.candidates import (
+            make_candidate_probes_from_sequences)
+        from catch_tpu.filters.duplicate import DuplicateFilter
+        seqs = self._corpus(seed)
+        cands = make_candidate_probes_from_sequences(
+            seqs, probe_length=probe_length, probe_stride=stride)
+        probes = DuplicateFilter().filter(cands)
+        searcher = cover.ProbeSearcher(probes, model)
+
+        def merged(flat):
+            p, i, s, e = flat
+            out = {}
+            for k in range(len(p)):
+                out.setdefault((int(p[k]), int(i[k])), []).append(
+                    (int(s[k]), int(e[k])))
+            return {k: intervals.merge_overlapping(v)
+                    for k, v in out.items()}
+
+        got = merged(searcher.find_probe_covers_flat(seqs, force_batch=True))
+        want = merged(searcher.find_probe_covers_flat(seqs,
+                                                      force_batch=False))
+        self.assertEqual(got, want)
+        self.assertGreater(len(want), 0)
+
+    def test_parity_mismatch_model(self):
+        self._assert_parity(cover.CoverModel(mismatches=2, lcf_thres=40),
+                            seed=1)
+
+    def test_parity_fast_path(self):
+        m = cover.CoverModel(mismatches=2, lcf_thres=60)
+        self._assert_parity(m, probe_length=60, seed=2)
+
+    def test_parity_exact(self):
+        self._assert_parity(cover.CoverModel(mismatches=0, lcf_thres=30),
+                            seed=3)
+
+    def test_parity_island(self):
+        self._assert_parity(
+            cover.CoverModel(mismatches=2, lcf_thres=40,
+                             island_of_exact_match=25), seed=4)
+
+    def test_parity_short_and_empty_sequences(self):
+        from catch_tpu.filters.candidates import (
+            make_candidate_probes_from_sequences)
+        seqs = self._corpus(5) + ["ACGT", ""]  # below k_seed
+        cands = make_candidate_probes_from_sequences(
+            seqs[:6], probe_length=60, probe_stride=25)
+        searcher = cover.ProbeSearcher(
+            cands, cover.CoverModel(mismatches=1, lcf_thres=40))
+        a = searcher.find_probe_covers_flat(seqs, force_batch=True)
+        b = searcher.find_probe_covers_flat(seqs, force_batch=False)
+        key = lambda f: sorted(zip(*(x.tolist() for x in f)))
+        self.assertEqual(key(a), key(b))
