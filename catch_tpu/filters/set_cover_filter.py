@@ -103,6 +103,7 @@ class SetCoverFilter(BaseFilter):
         """
         searcher = ProbeSearcher(candidate_probes, self.model,
                                  kmer_probe_map_k=self.kmer_probe_map_k)
+        self._last_searcher = searcher
         # Reference semantics: later duplicates take the id
         # (set_cover_filter.py:407-410 builds probe->id with last-wins)
         probe_id = {}
@@ -223,6 +224,10 @@ class SetCoverFilter(BaseFilter):
 
     def _filter(self, input, target_genomes_grouped):
         """Per-group set-cover selection; input is grouped probes."""
+        import time as _time
+        stats = {"scan_seconds": 0.0, "solve_seconds": 0.0,
+                 "candidates_evaluated": 0, "set_cover_picks": 0}
+        self.last_run_stats = stats
         selected_probes = []
         for group_i, (possible_probes, target_genomes) in enumerate(
                 zip(input, target_genomes_grouped)):
@@ -232,8 +237,12 @@ class SetCoverFilter(BaseFilter):
             if len(possible_probes) == 0:
                 selected_probes.append([])
                 continue
+            t0 = _time.time()
             set_ids, univ_ids, starts, ends = self._make_cover_arrays(
                 possible_probes, target_genomes)
+            stats["scan_seconds"] += _time.time() - t0
+            stats["candidates_evaluated"] += \
+                self._last_searcher.stats["candidates"]
             ranks = self._make_ranks(possible_probes,
                                      target_genomes_grouped)
             universe_p = self._make_universe_p(target_genomes)
@@ -244,7 +253,10 @@ class SetCoverFilter(BaseFilter):
                 universe_p=universe_p, ranks=ranks)
             logger.info("Solving set cover instance (group %d of %d)",
                         group_i + 1, len(input))
+            t0 = _time.time()
             chosen = set_cover.solve_instance(inst)
+            stats["solve_seconds"] += _time.time() - t0
+            stats["set_cover_picks"] += len(chosen)
             n_min_rank = int(np.sum(ranks[chosen] > ranks.min())) \
                 if len(chosen) else 0
             if n_min_rank:

@@ -205,6 +205,9 @@ class ProbeSearcher:
                 (reference SetCoverFilter's kmer_probe_map_k)
         """
         self.model = model
+        # Lightweight run counters (candidate pairs admitted to
+        # verification) for the north-star bench metrics.
+        self.stats = {"candidates": 0}
         # Dedup by sequence, preserving first-occurrence order (the
         # reference's map keys by Probe which hashes by sequence).
         seen = {}
@@ -604,6 +607,35 @@ class ProbeSearcher:
     # Public API
     # ------------------------------------------------------------------
 
+    def _scan_one_sequence(self, sequence):
+        """Per-sequence scan: flat (probe_idx, start, end) span arrays.
+
+        Shared body of find_probe_covers and find_probe_covers_flat's
+        per-sequence loop (single source of truth for the fast-path
+        predicate and phase dispatch).
+        """
+        n = len(sequence)
+        empty = tuple(np.empty(0, dtype=np.int64) for _ in range(3))
+        if n < self.k_seed:
+            return empty
+        seq_bytes = encode.encode_bytes(sequence)
+        seq_codes = self.alphabet.encode(seq_bytes)
+        self._seq_str_cache = sequence  # for the custom-fn path
+
+        cand_p, cand_a = self._candidates_for_sequence(seq_codes)
+        self.stats["candidates"] += len(cand_p)
+
+        fast = self.fast_ok and (
+            n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
+        if fast:
+            p_idx = cand_p
+            span_start = np.maximum(0, cand_a)
+            span_end = np.minimum(n, cand_a + self.probe_lens[cand_p])
+        else:
+            p_idx, span_start, span_end = self._verify(
+                seq_codes, cand_p, cand_a)
+        return p_idx, span_start, span_end
+
     def find_probe_covers(self, sequence, merge_overlapping=True):
         """Find cover ranges of every probe in `sequence`.
 
@@ -618,31 +650,18 @@ class ProbeSearcher:
         """
         if self.empty:
             return {}
-        n = len(sequence)
-        if n < self.k_seed:
-            return {}
-        seq_bytes = encode.encode_bytes(sequence)
-        seq_codes = self.alphabet.encode(seq_bytes)
-        self._seq_str_cache = sequence  # for the custom-fn path
-
-        cand_p, cand_a = self._candidates_for_sequence(seq_codes)
-
-        fast = self.fast_ok and (
-            n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
-        if fast:
-            p_idx = cand_p
-            span_start = np.maximum(0, cand_a)
-            span_end = np.minimum(n, cand_a + self.probe_lens[cand_p])
-        else:
-            p_idx, span_start, span_end = self._verify(
-                seq_codes, cand_p, cand_a)
-
+        p_idx, span_start, span_end = self._scan_one_sequence(sequence)
         return self._group_spans(p_idx, span_start, span_end,
                                  merge_overlapping)
 
     # Corpus-level batched scan pays one megakernel compile; worth it
     # above this many (alignment x probe x probe-length) cells total.
-    _BATCH_MIN_CELLS = 1 << 34
+    # Measured (round 1, 50 Ebola genomes x 25k probes): the dense
+    # megakernel was 35x SLOWER than the per-sequence host path and
+    # faulted the TPU at corpus scale, so auto-dispatch to it is
+    # disabled until the device scan beats the host path (force_batch
+    # still exercises it for parity tests).
+    _BATCH_MIN_CELLS = 1 << 62
 
     def find_probe_covers_flat(self, sequences, force_batch=None):
         """Unmerged cover spans of every probe across many sequences.
@@ -668,26 +687,21 @@ class ProbeSearcher:
             use_batch = False
         if use_batch:
             from catch_tpu.ops import scan_batch
-            r = scan_batch.scan_corpus(self, sequences)
+            try:
+                r = scan_batch.scan_corpus(self, sequences)
+            except Exception:
+                # A device fault (OOM, kernel fault) must never kill a
+                # design run; degrade to the per-sequence path.
+                logger.exception(
+                    "Batched device scan failed; falling back to the "
+                    "per-sequence path")
+                r = None
             if r is not None:
+                self.stats["candidates"] += len(r[0])
                 return r
         out_p, out_i, out_s, out_e = [], [], [], []
         for i, sequence in enumerate(sequences):
-            n = len(sequence)
-            if n < self.k_seed:
-                continue
-            seq_bytes = encode.encode_bytes(sequence)
-            seq_codes = self.alphabet.encode(seq_bytes)
-            self._seq_str_cache = sequence
-            cand_p, cand_a = self._candidates_for_sequence(seq_codes)
-            fast = self.fast_ok and (
-                n >= self.Lmax or (self.K_static == 0 and n >= self.k_seed))
-            if fast:
-                p_idx = cand_p
-                s = np.maximum(0, cand_a)
-                e = np.minimum(n, cand_a + self.probe_lens[cand_p])
-            else:
-                p_idx, s, e = self._verify(seq_codes, cand_p, cand_a)
+            p_idx, s, e = self._scan_one_sequence(sequence)
             if len(p_idx):
                 out_p.append(p_idx)
                 out_i.append(np.full(len(p_idx), i, dtype=np.int64))

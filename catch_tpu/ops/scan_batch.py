@@ -56,11 +56,11 @@ def _scan_mega(mega, seq_starts, seq_ends, probes_oh, probe_codes_flat,
     probe_lens_blk: (nB, P_blk) int32 (0 for padding probes)
     lcf, k_seed: model scalars (int32); K/seed_req are static
 
-    Returns (buf_p, buf_q, buf_s, buf_e, n_spans, max_cand, max_span):
-    span buffers (probe id, mega seq attribution key = alignment, start,
-    end in mega coords; first n_spans entries valid if no overflow),
-    plus the max per-(tile,block) candidate count and max per-tile span
-    count for overflow detection.
+    Returns (buf_p, buf_s, buf_e, n_spans, max_cand, max_span):
+    span buffers (probe id, start, end in mega coords; first n_spans
+    entries valid if no overflow; sequence attribution happens on the
+    host via searchsorted over seq_ends), plus the max per-(tile,block)
+    candidate count and max per-tile span count for overflow detection.
     """
     nB, P_blk = probe_lens_blk.shape
     n_seqs = seq_starts.shape[0]
@@ -209,6 +209,19 @@ def scan_corpus(searcher, sequences, span_cap=None):
         starts[i] = pos
         pos += int(n) + L
     real_total = pos
+    # Mega coordinates ride int32 device arrays: refuse corpora that
+    # would overflow (or whose span buffers would blow the HBM budget)
+    # and let the caller fall back to the per-sequence path.
+    if real_total + L > np.iinfo(np.int32).max:
+        return None
+    est_span_cap = (span_cap if span_cap is not None
+                    else encode.next_pow2(max(2 * real_total, 1 << 16)))
+    est_bytes = (
+        3 * 4 * est_span_cap                        # span buffers
+        + len(searcher.probes) * L * (A * 2 + 1)    # probes_oh + codes
+        + encode.next_pow2(real_total + L))         # mega
+    if est_bytes > 8 * (1 << 30):
+        return None
     mega_pad = encode.next_pow2(real_total + L)
     na_blk = min(32768, mega_pad)
     n_tiles = mega_pad // na_blk
@@ -218,14 +231,15 @@ def scan_corpus(searcher, sequences, span_cap=None):
             encode.encode_bytes(s))
     ends = starts + seq_lens
 
-    # Probe blocks stacked
-    nB = len(searcher._blocks)
+    # Probe blocks stacked (directly from the searcher's host arrays;
+    # no device round trip)
+    nP = len(searcher.probes)
     P_blk = searcher.p_blk
+    nB = (nP + P_blk - 1) // P_blk
     codes = np.zeros((nB, P_blk, L), dtype=np.uint8)
     lens_blk = np.zeros((nB, P_blk), dtype=np.int32)
-    for bi, (lo, codes_dev, lens_dev) in enumerate(searcher._blocks):
-        codes[bi] = np.asarray(codes_dev)
-        lens_blk[bi] = np.asarray(lens_dev)
+    codes.reshape(nB * P_blk, L)[:nP] = searcher.probe_codes
+    lens_blk.reshape(-1)[:nP] = searcher.probe_lens
     probes_oh = jax.nn.one_hot(
         jnp.asarray(codes).astype(jnp.int32) - 1, A, dtype=jnp.bfloat16)
     codes_flat = jnp.asarray(codes.reshape(nB * P_blk, L))
