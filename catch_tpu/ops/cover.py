@@ -328,13 +328,13 @@ class ProbeSearcher:
     # exhaustive (recall >= the reference's Monte-Carlo sampling),
     # vectorized end to end, no shared-memory fork protocol.
 
-    def _rolling_hashes(self, codes_2d):
-        """Rolling k_seed-mer hashes along the last axis.
+    def _rolling_hashes(self, codes_2d, k=None):
+        """Rolling k-mer hashes along the last axis (default k_seed).
 
         Returns (hashes, valid): hashes[..., i] covers codes[..., i:i+k];
         valid marks windows free of PAD (code 0).
         """
-        k = self.k_seed
+        k = self.k_seed if k is None else k
         W = codes_2d.shape[-1] - k + 1
         if W <= 0:
             shape = codes_2d.shape[:-1] + (0,)
@@ -349,23 +349,91 @@ class ProbeSearcher:
             ok &= cj > 0
         return h, ok
 
+    # ------------------------------------------------------------------
+    # Minimizer seeding
+    # ------------------------------------------------------------------
+    #
+    # Every qualifying cover carries a run of >= k_seed consecutive
+    # exact matches: the verify phase requires seedmax >= k_seed
+    # explicitly, and the fast path admits only full-overlap
+    # candidates, where the pigeonhole k-selection (> K disjoint
+    # k_seed-mers, <= K mismatches) guarantees an intact k_seed run.
+    # A (w, kj)-minimizer scheme with kj + w - 1 <= k_seed therefore
+    # preserves exhaustive seeding: any window of w consecutive
+    # kj-mers lying fully inside the shared run selects the same
+    # minimal-hash kj-mer on the probe and the sequence side (the
+    # selection is content-determined; leftmost tie-break is
+    # alignment-invariant within the run), so the join still finds
+    # every qualifying pair while hashing only ~2/(w+1) of positions
+    # on EACH side — a quadratic reduction in raw join hits, which is
+    # what dominates the scan on conserved corpora (measured 300M raw
+    # hits -> 483k candidate pairs on 50 Ebola genomes at w=1).
+
+    _MINIMIZER_MIN_KJ = 12   # kj floor: 4^12 >> viral genome sizes
+    _MINIMIZER_MAX_W = 20    # density floor 2/(w+1) ~ 10%
+
+    def _join_params(self):
+        """(kj, w) for the seed join; w == 1 disables minimizers."""
+        k = self.k_seed
+        if k <= self._MINIMIZER_MIN_KJ:
+            return k, 1
+        kj = max(self._MINIMIZER_MIN_KJ, k - self._MINIMIZER_MAX_W + 1)
+        return kj, k - kj + 1
+
+    @staticmethod
+    def _minimizer_select(h, ok, w):
+        """Union-of-window-minima positions for rows of hashes.
+
+        h, ok: (..., W) hashes and validity.  Returns a boolean mask of
+        selected positions (subset of ok).  Rows shorter than w select
+        nothing — such rows cannot contain a complete window, and the
+        caller's k_seed-run requirement already excludes them.
+        """
+        if w <= 1:
+            return ok
+        W = h.shape[-1]
+        if W < w:
+            return np.zeros_like(ok)
+        x = np.where(ok, h, np.uint64(np.iinfo(np.uint64).max))
+        sw = np.lib.stride_tricks.sliding_window_view(x, w, axis=-1)
+        am = sw.argmin(axis=-1) + np.arange(W - w + 1)
+        sel = np.zeros_like(ok)
+        np.put_along_axis(sel.reshape(-1, W),
+                          am.reshape(-1, W - w + 1), True, axis=-1)
+        return sel & ok
+
     def _build_join_table(self):
-        h, ok = self._rolling_hashes(self.probe_codes)
-        pi, pos = np.nonzero(ok)
+        kj, w = self._join_params()
+        h, ok = self._rolling_hashes(self.probe_codes, k=kj)
+        sel = self._minimizer_select(h, ok, w)
+        pi, pos = np.nonzero(sel)
         hv = h[pi, pos]
         order = np.argsort(hv, kind="stable")
         self._join_h = hv[order]
         self._join_p = pi[order].astype(np.int64)
         self._join_pos = pos[order].astype(np.int64)
+        # Composite per-entry key term so the expansion needs a single
+        # gather: pair key = (p << 34) + (seq_pos - probe_pos + Lmax - 1),
+        # nonnegative since alignments reach back at most Lmax - 1.
+        self._join_pkey = ((self._join_p << np.int64(34))
+                           - self._join_pos + (self.Lmax - 1))
 
-    def _candidates_join(self, seq_codes):
-        """Phase 1 by k-mer join; returns predicate-passing (p, a)."""
+    def _join_pairs(self, codes):
+        """Raw k-mer join of a 1-D code array against the probe table.
+
+        Returns deduplicated candidate (probe_idx, alignment) int64
+        arrays.  `codes` may be a single sequence or a PAD-separated
+        concatenation of many (PAD windows never hash, and a gap of
+        >= 1 PAD blocks cross-sequence k-mers); alignments are in the
+        coordinates of `codes`.
+        """
         if getattr(self, "_join_h", None) is None:
             self._build_join_table()
-        n = len(seq_codes)
+        kj, w = self._join_params()
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        h, ok = self._rolling_hashes(seq_codes[None, :])
-        pos_seq = np.flatnonzero(ok[0])
+        h, ok = self._rolling_hashes(codes[None, :], k=kj)
+        sel = self._minimizer_select(h, ok, w)
+        pos_seq = np.flatnonzero(sel[0])
         if len(pos_seq) == 0 or len(self._join_h) == 0:
             return empty
         hs = h[0][pos_seq]
@@ -377,17 +445,34 @@ class ProbeSearcher:
         total = int(cnt.sum())
         if total == 0:
             return empty
-        csum = np.concatenate(([0], np.cumsum(cnt)))
-        idx = (np.repeat(lo, cnt)
-               + np.arange(total, dtype=np.int64)
-               - np.repeat(csum[:-1], cnt))
-        p = self._join_p[idx]
-        a = np.repeat(pos_seq, cnt) - self._join_pos[idx]
-        # Dedup (probe, alignment) pairs
-        span = np.int64(n + self.Lmax)
-        key = np.unique(p * span + (a + self.Lmax - 1))
-        p = key // span
-        a = key % span - (self.Lmax - 1)
+        if len(codes) + self.Lmax >= (1 << 34):
+            raise ValueError("corpus too large for the join key encoding")
+        # Expand hits to (table index, seq position) with two cumsums
+        # (no np.repeat / arange passes — the expansion is the join's
+        # hottest loop at tens of millions of raw hits) and dedup on a
+        # composite (probe, alignment) key built with a single gather:
+        # key = (p << 34) + (seq_pos - probe_pos + Lmax - 1).
+        csum = np.cumsum(cnt)
+        step = np.ones(total, dtype=np.int64)
+        step[0] = lo[0]
+        step[csum[:-1]] = lo[1:] - lo[:-1] - cnt[:-1] + 1
+        idx = np.cumsum(step)
+        step[0] = pos_seq[0]
+        step[1:] = 0
+        step[csum[:-1]] = np.diff(pos_seq)
+        pos_rep = np.cumsum(step)
+        key = np.unique(self._join_pkey[idx] + pos_rep)
+        p = key >> np.int64(34)
+        a = (key & np.int64((1 << 34) - 1)) - (self.Lmax - 1)
+        return p, a
+
+    def _candidates_join(self, seq_codes):
+        """Phase 1 by k-mer join; returns predicate-passing (p, a)."""
+        n = len(seq_codes)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        p, a = self._join_pairs(seq_codes)
+        if len(p) == 0:
+            return empty
         # Sparse phase-1 predicate (same as the dense tile's `cand`)
         lens = self.probe_lens[p].astype(np.int64)
         ov = np.minimum(n, a + lens) - np.maximum(0, a)
@@ -654,22 +739,23 @@ class ProbeSearcher:
         return self._group_spans(p_idx, span_start, span_end,
                                  merge_overlapping)
 
-    # Corpus-level batched scan pays one megakernel compile; worth it
-    # above this many (alignment x probe x probe-length) cells total.
-    # Measured (round 1, 50 Ebola genomes x 25k probes): the dense
-    # megakernel was 35x SLOWER than the per-sequence host path and
-    # faulted the TPU at corpus scale, so auto-dispatch to it is
-    # disabled until the device scan beats the host path (force_batch
-    # still exercises it for parity tests).
-    _BATCH_MIN_CELLS = 1 << 62
+    # Corpora with at least this many total bases route to the sparse
+    # batched scan (corpus-wide k-mer join + device verify chunks,
+    # ops/scan_sparse).  Below it, the per-sequence host path wins:
+    # tiny workloads are dominated by device dispatch and the
+    # verify-chunk compile.  (Round 1's dense alignment-tile megakernel
+    # — 35x slower than host, faulted the TPU — is gone; the sparse
+    # path does the same join as the host path and only moves the
+    # vectorized window verification onto the device.)
+    _BATCH_MIN_BP = 1 << 19
 
     def find_probe_covers_flat(self, sequences, force_batch=None):
         """Unmerged cover spans of every probe across many sequences.
 
-        The corpus-scale path: large workloads run as one device
-        megakernel over all sequences at once (ops/scan_batch), small
-        ones loop the per-sequence engine.  Returns flat int64 arrays
-        (probe_idx, seq_idx, start, end) in per-sequence local
+        The corpus-scale path: large workloads run one corpus-wide
+        k-mer join plus chunked device verification (ops/scan_sparse),
+        small ones loop the per-sequence engine.  Returns flat int64
+        arrays (probe_idx, seq_idx, start, end) in per-sequence local
         coordinates; spans are NOT merged (downstream consumers merge
         per (probe, universe), which commutes with cover extension).
 
@@ -678,17 +764,15 @@ class ProbeSearcher:
         empty = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
         if self.empty or not sequences:
             return empty
-        total_cells = sum(
-            (len(s) + self.Lmax - 1) for s in sequences
-        ) * len(self.probes) * self.Lmax
+        total_bp = sum(len(s) for s in sequences)
         use_batch = (force_batch if force_batch is not None
-                     else total_cells >= self._BATCH_MIN_CELLS)
+                     else total_bp >= self._BATCH_MIN_BP)
         if use_batch and self.model.custom_fn is not None:
             use_batch = False
         if use_batch:
-            from catch_tpu.ops import scan_batch
+            from catch_tpu.ops import scan_sparse
             try:
-                r = scan_batch.scan_corpus(self, sequences)
+                r = scan_sparse.scan_corpus_sparse(self, sequences)
             except Exception:
                 # A device fault (OOM, kernel fault) must never kill a
                 # design run; degrade to the per-sequence path.
@@ -697,7 +781,6 @@ class ProbeSearcher:
                     "per-sequence path")
                 r = None
             if r is not None:
-                self.stats["candidates"] += len(r[0])
                 return r
         out_p, out_i, out_s, out_e = [], [], [], []
         for i, sequence in enumerate(sequences):

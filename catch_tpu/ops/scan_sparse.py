@@ -1,0 +1,287 @@
+"""Sparse batched cover scan: corpus-wide k-mer join + device verify.
+
+The corpus-scale replacement for both the reference's per-sequence
+process-pool scan (/root/reference/catch/probe.py:1008-1271) and the
+round-1 dense alignment-tile megakernel (which computed an
+O(corpus_bp x probes x probe_len) einsum over *all* alignments — 35x
+slower than the host path and prone to TPU faults at scale).  Real
+candidate pairs are sparse (~1 per corpus position on viral panels),
+so the scan is reformulated sparsely:
+
+1. All sequences are concatenated into one PAD-separated array (gap =
+   Lmax, so k-mers never span sequences and every alignment maps to a
+   unique sequence via searchsorted over sequence ends).
+2. One corpus-wide exhaustive k-mer join against the probe seed table
+   (vectorized numpy; slabbed to bound host memory) yields candidate
+   (probe, alignment) pairs — the TPU-era equivalent of the
+   reference's k-mer hash map, deterministic and with recall >= its
+   Monte-Carlo sampling.
+3. Phase 2 runs on device in fixed-size candidate chunks: each chunk
+   gathers its sequence/probe windows from device-resident tensors,
+   derives the exact match vector, builds sentinel-padded mismatch
+   positions by rank-scatter (no sort), and enumerates all maximal
+   <=K-mismatch windows containing a >=seed_req exact run — the same
+   window math as ops/cover.py's host verify, bit-for-bit
+   (parity-tested in tests/test_cover.py).  Qualifying spans are
+   extracted with a static cap; true counts are returned so the host
+   retries an overflowing chunk with a doubled cap.
+
+The fast path (lcf >= probe length with pigeonhole seeding or zero
+mismatches) skips the window math per candidate and emits the clamped
+overlap iff the match count passes the phase-1 predicate, matching
+ops/cover.py's per-sequence fast path.
+
+Scratch is bounded by the chunk size (~350 MB at C=128k, L=100),
+independent of corpus size, fixing round 1's unbounded-scratch fault.
+"""
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["scan_corpus_sparse"]
+
+# Candidates verified per device dispatch.  Peak scratch ~ C * (L+K+2)
+# int32 * ~6 arrays (~350 MB at C=2**17, L=100) — sized for 16 GB HBM
+# with a wide margin, independent of corpus size.
+_CHUNK = 1 << 17
+
+# Hash/join slab width (positions per slab) bounding host memory for
+# the corpus-wide rolling hash (u64 hashes = 8 B/position).
+_JOIN_SLAB = 1 << 24
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok"))
+def _verify_chunk(mega, probe_codes_flat, pg, start, poff0, ov, thres,
+                  n_seq, k_seed, *, L, K, C, cap, seed_req, fast_ok):
+    """Verify one chunk of candidates on device.
+
+    mega: (mega_len + L,) uint8 codes (0 = PAD; L tail pad)
+    probe_codes_flat: (P, L) uint8
+    pg/start/poff0/ov/thres/n_seq: (C,) int32 per candidate —
+        global probe id, clipped span start (mega coords), offset of
+        `start` into the probe, overlap length, effective lcf
+        threshold, owning-sequence length.  Padded candidates have
+        ov = thres = 0 and never qualify.
+    k_seed: int32 scalar
+
+    Returns (sp_p, sp_s, sp_e, ok, nq): span buffers (first entries
+    where ok=True are valid), plus the true qualifying-window count
+    for overflow detection (nq > cap => retry with a bigger cap).
+    """
+    jL = jnp.arange(L, dtype=jnp.int32)
+    t_cols = L + 1
+
+    seq_vals = mega[start[:, None] + jL[None, :]]              # (C, L)
+    probe_vals = jnp.take_along_axis(
+        probe_codes_flat[pg], jnp.minimum(poff0[:, None] + jL[None, :],
+                                          L - 1), axis=1)
+    validj = jL[None, :] < ov[:, None]
+    match = (seq_vals == probe_vals) & (seq_vals > 0) & validj
+
+    if fast_ok:
+        counts = jnp.sum(match, axis=1, dtype=jnp.int32)
+        is_fast = (n_seq >= L) | ((K == 0) & (n_seq >= k_seed))
+        need = jnp.maximum(thres - K, k_seed)
+        qual_fast = (counts >= need) & (thres > 0)
+    else:
+        is_fast = jnp.zeros((C,), bool)
+        qual_fast = jnp.zeros((C,), bool)
+
+    mism = validj & ~match
+    nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
+    # Sentinel-padded mismatch positions by rank-scatter (no sort):
+    # P[c,0] = -1, P[c,1+r] = position of the r-th mismatch, rest = ov.
+    rank = jnp.cumsum(mism.astype(jnp.int32), axis=1)          # 1-based
+    idx = jnp.where(mism, rank, L + K + 2)                     # drop
+    P = jnp.broadcast_to(ov[:, None], (C, L + K + 2)).astype(jnp.int32)
+    P = P.at[:, 0].set(-1)
+    rows2d = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                              (C, L))
+    P = P.at[rows2d, idx].set(jnp.broadcast_to(jL[None, :], (C, L)),
+                              mode="drop")
+
+    lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
+    runs = P[:, 1:] - P[:, :-1] - 1
+    seedmax = runs[:, :t_cols]
+    for s in range(1, K + 1):
+        seedmax = jnp.maximum(seedmax, runs[:, s:s + t_cols])
+    tq = jnp.arange(t_cols, dtype=jnp.int32)
+    qual = ((tq[None, :] <= nm[:, None]) & (lenW >= thres[:, None])
+            & (seedmax >= seed_req) & (thres[:, None] > 0))
+    if fast_ok:
+        qual = jnp.where(is_fast[:, None],
+                         (tq[None, :] == 0) & qual_fast[:, None], qual)
+
+    nq = jnp.sum(qual, dtype=jnp.int32)
+    rows, ts = jnp.nonzero(qual, size=cap, fill_value=-1)
+    ok = rows >= 0
+    rc = jnp.maximum(rows, 0)
+    tc = jnp.maximum(ts, 0)
+    if fast_ok:
+        sp_s = jnp.where(is_fast[rc], start[rc],
+                         P[rc, tc] + 1 + start[rc])
+        sp_e = jnp.where(is_fast[rc], start[rc] + ov[rc],
+                         P[rc, tc + K + 1] + start[rc])
+    else:
+        sp_s = P[rc, tc] + 1 + start[rc]
+        sp_e = P[rc, tc + K + 1] + start[rc]
+    return pg[rc], sp_s, sp_e, ok, nq
+
+
+def _join_corpus(searcher, mega_codes):
+    """Corpus-wide k-mer join, slabbed to bound host memory.
+
+    Returns deduplicated (probe_idx, alignment) int64 arrays in mega
+    coordinates.
+    """
+    n = len(mega_codes)
+    k = searcher.k_seed
+    if n <= _JOIN_SLAB:
+        return searcher._join_pairs(mega_codes)
+    ps, as_ = [], []
+    for s0 in range(0, n, _JOIN_SLAB):
+        s1 = min(n, s0 + _JOIN_SLAB)
+        # Overlap of k_seed codes so every minimizer window *starting*
+        # in [s0, s1] is fully contained in some slab (window needs
+        # codes q .. q + w + kj - 2, and kj + w - 1 == k_seed); the
+        # slabbed union of window minima then equals the unslabbed one,
+        # with cross-slab duplicates removed by the final dedup.
+        p, a = searcher._join_pairs(mega_codes[s0:min(n, s1 + k)])
+        ps.append(p)
+        as_.append(a + s0)
+    p = np.concatenate(ps)
+    a = np.concatenate(as_)
+    span = np.int64(n + searcher.Lmax)
+    key = np.unique(p * span + (a + searcher.Lmax - 1))
+    p = key // span
+    a = key % span - (searcher.Lmax - 1)
+    return p, a
+
+
+def scan_corpus_sparse(searcher, sequences):
+    """Scan `sequences` (list of str) against searcher's probes.
+
+    Returns (probe_idx, seq_idx, start, end) int64 arrays of unmerged
+    cover spans in per-sequence local coordinates, or None if this
+    workload cannot run on the batched path (custom model, or corpus
+    too large for int32 device coordinates).
+    """
+    from catch_tpu.ops import encode
+
+    model = searcher.model
+    if model.custom_fn is not None or searcher.K_static is None:
+        return None
+    L = searcher.Lmax
+    K = int(searcher.K_static)
+    k_seed = int(searcher.k_seed)
+    island = model.island_of_exact_match
+    seed_req = max(k_seed, island) if island > 0 else k_seed
+
+    # Mega array: [L pad][seq0][L pad][seq1]...[L tail pad]
+    n_seqs = len(sequences)
+    seq_lens = np.array([len(s) for s in sequences], dtype=np.int64)
+    starts = np.empty(n_seqs, dtype=np.int64)
+    pos = L
+    for i, ln in enumerate(seq_lens):
+        starts[i] = pos
+        pos += int(ln) + L
+    total = pos
+    if total + L > np.iinfo(np.int32).max:
+        return None
+    mega = np.zeros(total + L, dtype=np.uint8)
+    for i, s in enumerate(sequences):
+        mega[starts[i]:starts[i] + seq_lens[i]] = searcher.alphabet.encode(
+            encode.encode_bytes(s))
+    ends = starts + seq_lens
+
+    p, a = _join_corpus(searcher, mega[:total])
+    empty = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
+    if len(p) == 0:
+        return empty
+
+    # Sparse phase-1 predicate in mega coordinates (gap = L guarantees
+    # each alignment window touches exactly one sequence).
+    sid = np.searchsorted(ends, a, side="right")
+    sid = np.minimum(sid, n_seqs - 1)
+    s_lo = starts[sid]
+    s_hi = ends[sid]
+    plens = searcher.probe_lens[p].astype(np.int64)
+    st = np.maximum(s_lo, a)
+    en = np.minimum(s_hi, a + plens)
+    ov = en - st
+    n_seq = s_hi - s_lo
+    thres = np.minimum(np.minimum(searcher.lcf_static, plens), n_seq)
+    keep = (ov >= np.maximum(thres, k_seed)) & (thres > 0)
+    if not np.any(keep):
+        return empty
+    p, a, st, ov, thres, n_seq = (
+        x[keep] for x in (p, a, st, ov, thres, n_seq))
+    searcher.stats["candidates"] += len(p)
+
+    # Device-resident corpus + probe tensors
+    mega_dev = jnp.asarray(mega)
+    codes_dev = jnp.asarray(searcher.probe_codes)
+
+    C = min(_CHUNK, max(1 << 10, _next_pow2(len(p))))
+    cap0 = 2 * C
+
+    def dispatch(sl, cap):
+        return _verify_chunk(
+            mega_dev, codes_dev,
+            jnp.asarray(_pad_i32(p[sl], C)),
+            jnp.asarray(_pad_i32(st[sl], C)),
+            jnp.asarray(_pad_i32(st[sl] - a[sl], C)),
+            jnp.asarray(_pad_i32(ov[sl], C)),
+            jnp.asarray(_pad_i32(thres[sl], C)),
+            jnp.asarray(_pad_i32(n_seq[sl], C)),
+            jnp.int32(k_seed),
+            L=L, K=K, C=C, cap=cap, seed_req=seed_req,
+            fast_ok=searcher.fast_ok)
+
+    # Dispatch every chunk before reading any result back: JAX queues
+    # the kernels asynchronously, so chunk i+1 computes while chunk i
+    # transfers (the readback is the only sync point per chunk).
+    slices = [slice(c0, min(c0 + C, len(p)))
+              for c0 in range(0, len(p), C)]
+    pending = [dispatch(sl, cap0) for sl in slices]
+    out_p, out_s, out_e = [], [], []
+    for sl, (sp_p, sp_s, sp_e, ok, nq) in zip(slices, pending):
+        n_q = int(nq)
+        cap = cap0
+        while n_q > cap:  # rare overflow: retry this chunk, bigger cap
+            cap = _next_pow2(n_q)
+            sp_p, sp_s, sp_e, ok, nq = dispatch(sl, cap)
+            n_q = int(nq)
+        if n_q == 0:
+            continue
+        okn = np.asarray(ok)
+        out_p.append(np.asarray(sp_p)[okn].astype(np.int64))
+        out_s.append(np.asarray(sp_s)[okn].astype(np.int64))
+        out_e.append(np.asarray(sp_e)[okn].astype(np.int64))
+    if not out_p:
+        return empty
+    sp_p = np.concatenate(out_p)
+    sp_s = np.concatenate(out_s)
+    sp_e = np.concatenate(out_e)
+    sidx = np.searchsorted(ends, sp_s, side="right")
+    sidx = np.minimum(sidx, n_seqs - 1)
+    return (sp_p, sidx.astype(np.int64),
+            sp_s - starts[sidx], sp_e - starts[sidx])
+
+
+def _pad_i32(x, C):
+    out = np.zeros(C, dtype=np.int32)
+    out[:len(x)] = x
+    return out
+
+
+def _next_pow2(x):
+    return 1 if x <= 1 else 1 << int(x - 1).bit_length()

@@ -48,14 +48,22 @@ logger = logging.getLogger(__name__)
 __all__ = ["approx", "approx_multiuniverse", "SetCoverInstance",
            "solve_instance"]
 
-# Instances with a global position axis at most this long are solved by
-# the exact numpy mirror of the device step (the two paths are
-# bit-identical — see tests/test_set_cover.py device-parity test).  The
-# host mirror is O(u_len + intervals) per pick with small constants
-# (~10 ms/pick at u_len 3M); the device while-loop wins only when the
-# axis is tens of millions long, where its per-pick cost stays ~1 ms
-# and the one-time XLA compile (cached persistently) amortizes.
-_HOST_SOLVE_MAX_ULEN = 1 << 23
+# Instances below this many total elements (position axis + intervals)
+# are solved by the exact numpy mirror of the device step (the two
+# paths are bit-identical — see tests/test_set_cover.py device-parity
+# test).  Above it, the batched-step device solver wins: each greedy
+# pick is ~6 numpy passes over (u_len + M) elements on the host
+# (~240 ms/pick at u_len 3.3M / M 3.2M, measured round 2) vs ~1-3 ms
+# on a v5e, with the one-time XLA compile amortized by the persistent
+# compilation cache.
+_HOST_SOLVE_MAX_ELEMS = 1 << 21
+
+# Greedy steps executed per device dispatch (one lax.scan): amortizes
+# the host<->device round trip (which rides a network tunnel under
+# axon) without growing compile time, since scan compiles its body
+# once.  Overshoot past the stop condition is free: steps after stop
+# are no-ops by construction.
+_STEPS_PER_DISPATCH = 64
 
 
 def _next_pow2(x):
@@ -273,17 +281,21 @@ def _union_indicator(starts, ends, n):
 # Device solver
 # ----------------------------------------------------------------------
 
-def _greedy_step(state, const):
-    """One greedy iteration; shared by the 1-device and sharded solvers.
+def _greedy_core(core, const):
+    """One greedy iteration on the core state; shared by every solver.
 
-    state: (covered[U] bool, len_u[nU] i32, in_cover[S] bool,
-            order[S] i32, n_chosen i32, cur_rank i32, stop bool)
+    core: (covered[U] bool, len_u[nU] i32, in_cover[S] bool,
+           cur_rank i32, stop bool)
     const: dict of instance arrays (device-resident).  Padded entries
     (dummy sets / pairs / intervals / universes) are inert: padded
     intervals are empty, padded universes have size 0, padded sets have
     rank index n_rank_vals (never eligible).
+
+    Returns (new_core, chosen, pick).  Steps executed after `stop`
+    latches are no-ops (pick stays False and the state is unchanged),
+    so batching a fixed number of steps per dispatch is safe.
     """
-    covered, len_u, in_cover, order, n_chosen, cur_rank, stop = state
+    covered, len_u, in_cover, cur_rank, stop = core
     need_u = jnp.maximum(len_u - const["can_uncover"], 0)
     active = jnp.any(need_u > 0)
 
@@ -324,6 +336,20 @@ def _greedy_step(state, const):
     len_u = len_u - jnp.where(pick, dec, 0)
 
     in_cover = in_cover.at[chosen].set(in_cover[chosen] | pick)
+    return ((covered, len_u, in_cover, cur_rank, new_stop), chosen, pick)
+
+
+def _greedy_step(state, const):
+    """While-loop form of the greedy iteration (keeps a pick-order array
+    in the carried state; used by the single-dispatch while_loop solver).
+
+    state: (covered[U] bool, len_u[nU] i32, in_cover[S] bool,
+            order[S] i32, n_chosen i32, cur_rank i32, stop bool)
+    """
+    covered, len_u, in_cover, order, n_chosen, cur_rank, stop = state
+    core, chosen, pick = _greedy_core(
+        (covered, len_u, in_cover, cur_rank, stop), const)
+    covered, len_u, in_cover, cur_rank, new_stop = core
     order = order.at[n_chosen].set(
         jnp.where(pick, chosen, order[n_chosen]))
     n_chosen = n_chosen + pick.astype(jnp.int32)
@@ -390,6 +416,126 @@ def _solve_host(inst):
     return np.array(order, dtype=np.int32)
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2),
+    static_argnames=("n_rank_vals", "n_steps"))
+def _steps_jit(covered, len_u, in_cover, cur_rank, ivl_start, ivl_end,
+               pair_of_ivl, set_of_pair, univ_of_pair, cost, rank_idx,
+               can_uncover, *, n_rank_vals, n_steps):
+    """Run `n_steps` greedy iterations as one device dispatch.
+
+    Returns (covered, len_u, in_cover, cur_rank, stop, chosens[n_steps],
+    picks[n_steps]).  The mutable state (covered/len_u/in_cover) is
+    donated so the host loop re-feeds the returned buffers without
+    copies.
+    """
+    const = dict(
+        ivl_start=ivl_start, ivl_end=ivl_end, pair_of_ivl=pair_of_ivl,
+        set_of_pair=set_of_pair, univ_of_pair=univ_of_pair, cost=cost,
+        rank_idx=rank_idx, can_uncover=can_uncover,
+        n_sets=cost.shape[0], n_pairs=set_of_pair.shape[0],
+        n_universes=can_uncover.shape[0], n_rank_vals=n_rank_vals)
+
+    def body(core, _):
+        core, chosen, pick = _greedy_core(core, const)
+        return core, (chosen, pick)
+
+    core0 = (covered, len_u, in_cover, cur_rank, jnp.bool_(False))
+    core, (chosens, picks) = jax.lax.scan(
+        body, core0, None, length=n_steps)
+    covered, len_u, in_cover, cur_rank, stop = core
+    return covered, len_u, in_cover, cur_rank, stop, chosens, picks
+
+
+@functools.partial(jax.jit, static_argnames=("u_len_pad",))
+def _init_covered_jit(ivl_start, ivl_end, *, u_len_pad):
+    """covered0 = complement of the union of all intervals."""
+    delta = jnp.zeros((u_len_pad + 1,), jnp.int32)
+    nonempty = (ivl_end > ivl_start).astype(jnp.int32)
+    delta = delta.at[ivl_start].add(nonempty)
+    delta = delta.at[ivl_end].add(-nonempty)
+    return ~(jnp.cumsum(delta[:u_len_pad]) > 0)
+
+
+def _pad_instance(inst):
+    """Pad an instance to power-of-two shape buckets (shared by the
+    while-loop and batched-step device solvers).  Padded intervals are
+    empty, padded pairs point at a dummy set/universe, padded sets have
+    rank index n_rank_vals (never eligible)."""
+    M = len(inst.ivl_start)
+    S, nP, nU = inst.n_sets, len(inst.set_of_pair), inst.n_universes
+    M_pad = _next_pow2(M)
+    S_pad = _next_pow2(S + 1)      # +1 dummy set absorbing padded pairs
+    P_pad = _next_pow2(nP + 1)
+    nU_pad = _next_pow2(nU + 1)
+    U_pad = _next_pow2(inst.u_len)
+
+    ivl_start = np.zeros(M_pad, dtype=np.int32)
+    ivl_end = np.zeros(M_pad, dtype=np.int32)
+    pair_of_ivl = np.full(M_pad, P_pad - 1, dtype=np.int32)
+    ivl_start[:M] = inst.ivl_start
+    ivl_end[:M] = inst.ivl_end
+    pair_of_ivl[:M] = inst.pair_of_ivl
+
+    set_of_pair = np.full(P_pad, S_pad - 1, dtype=np.int32)
+    univ_of_pair = np.full(P_pad, nU_pad - 1, dtype=np.int32)
+    set_of_pair[:nP] = inst.set_of_pair
+    univ_of_pair[:nP] = inst.univ_of_pair
+
+    cost = np.ones(S_pad, dtype=np.float32)
+    rank_idx = np.full(S_pad, inst.n_rank_vals, dtype=np.int32)
+    cost[:S] = inst.cost
+    rank_idx[:S] = inst.rank_idx
+
+    can_uncover = np.zeros(nU_pad, dtype=np.int32)
+    u_size = np.zeros(nU_pad, dtype=np.int32)
+    can_uncover[:nU] = inst.can_uncover
+    u_size[:nU] = inst.u_size
+    return dict(ivl_start=ivl_start, ivl_end=ivl_end,
+                pair_of_ivl=pair_of_ivl, set_of_pair=set_of_pair,
+                univ_of_pair=univ_of_pair, cost=cost, rank_idx=rank_idx,
+                can_uncover=can_uncover, u_size=u_size,
+                S_pad=S_pad, U_pad=U_pad)
+
+
+def _solve_device_steps(inst):
+    """Device solve as a host loop of batched greedy steps.
+
+    Each dispatch runs _STEPS_PER_DISPATCH iterations on device and
+    reads back only the per-step (chosen, pick) vectors plus the stop
+    flag; the big coverage state never leaves the device.  Identical
+    output to _solve_host / the while-loop solver (parity-tested).
+    """
+    pad = _pad_instance(inst)
+    consts = [jnp.asarray(pad[k]) for k in (
+        "ivl_start", "ivl_end", "pair_of_ivl", "set_of_pair",
+        "univ_of_pair", "cost", "rank_idx", "can_uncover")]
+    covered = _init_covered_jit(consts[0], consts[1], u_len_pad=pad["U_pad"])
+    len_u = jnp.asarray(pad["u_size"].astype(np.int32))
+    in_cover = jnp.zeros((pad["S_pad"],), bool)
+    cur_rank = jnp.int32(0)
+
+    order = []
+    # Hard bound: every dispatch either picks >= 1 set, advances the
+    # rank tier, or stops, so n_rank_vals + n_sets dispatches suffice.
+    max_dispatch = 2 + (inst.n_sets + inst.n_rank_vals
+                        ) // max(1, _STEPS_PER_DISPATCH // 2)
+    for _ in range(max_dispatch):
+        covered, len_u, in_cover, cur_rank, stop, chosens, picks = \
+            _steps_jit(covered, len_u, in_cover, cur_rank, *consts,
+                       n_rank_vals=inst.n_rank_vals,
+                       n_steps=_STEPS_PER_DISPATCH)
+        picks_np = np.asarray(picks)
+        chosens_np = np.asarray(chosens)
+        order.extend(chosens_np[picks_np].tolist())
+        if bool(stop):
+            break
+    else:
+        logger.warning("Batched-step solver hit its dispatch bound; "
+                       "solution may be truncated")
+    return np.array(order, dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("u_len_pad", "n_rank_vals"))
 def _solve_jit_padded(ivl_start, ivl_end, pair_of_ivl, set_of_pair,
                       univ_of_pair, cost, rank_idx, can_uncover, u_size,
@@ -423,63 +569,48 @@ def _solve_jit_padded(ivl_start, ivl_end, pair_of_ivl, set_of_pair,
 
 def _solve_device(inst):
     """Pad the instance to power-of-two shape buckets and run the jitted
-    while-loop solver on the default device."""
-    M = len(inst.ivl_start)
-    S, nP, nU = inst.n_sets, len(inst.set_of_pair), inst.n_universes
-    M_pad = _next_pow2(M)
-    S_pad = _next_pow2(S + 1)      # +1 dummy set absorbing padded pairs
-    P_pad = _next_pow2(nP + 1)
-    nU_pad = _next_pow2(nU + 1)
-    U_pad = _next_pow2(inst.u_len)
-
-    ivl_start = np.zeros(M_pad, dtype=np.int32)
-    ivl_end = np.zeros(M_pad, dtype=np.int32)
-    pair_of_ivl = np.full(M_pad, P_pad - 1, dtype=np.int32)
-    ivl_start[:M] = inst.ivl_start
-    ivl_end[:M] = inst.ivl_end
-    pair_of_ivl[:M] = inst.pair_of_ivl
-
-    set_of_pair = np.full(P_pad, S_pad - 1, dtype=np.int32)
-    univ_of_pair = np.full(P_pad, nU_pad - 1, dtype=np.int32)
-    set_of_pair[:nP] = inst.set_of_pair
-    univ_of_pair[:nP] = inst.univ_of_pair
-
-    cost = np.ones(S_pad, dtype=np.float32)
-    rank_idx = np.full(S_pad, inst.n_rank_vals, dtype=np.int32)
-    cost[:S] = inst.cost
-    rank_idx[:S] = inst.rank_idx
-
-    can_uncover = np.zeros(nU_pad, dtype=np.int32)
-    u_size = np.zeros(nU_pad, dtype=np.int32)
-    can_uncover[:nU] = inst.can_uncover
-    u_size[:nU] = inst.u_size
-
+    while-loop solver on the default device (single dispatch; used by
+    parity tests — production routing prefers the batched-step form)."""
+    pad = _pad_instance(inst)
     _, order, n_chosen = _solve_jit_padded(
-        jnp.asarray(ivl_start), jnp.asarray(ivl_end),
-        jnp.asarray(pair_of_ivl), jnp.asarray(set_of_pair),
-        jnp.asarray(univ_of_pair), jnp.asarray(cost),
-        jnp.asarray(rank_idx), jnp.asarray(can_uncover),
-        jnp.asarray(u_size),
-        u_len_pad=U_pad, n_rank_vals=inst.n_rank_vals)
+        jnp.asarray(pad["ivl_start"]), jnp.asarray(pad["ivl_end"]),
+        jnp.asarray(pad["pair_of_ivl"]), jnp.asarray(pad["set_of_pair"]),
+        jnp.asarray(pad["univ_of_pair"]), jnp.asarray(pad["cost"]),
+        jnp.asarray(pad["rank_idx"]), jnp.asarray(pad["can_uncover"]),
+        jnp.asarray(pad["u_size"]),
+        u_len_pad=pad["U_pad"], n_rank_vals=inst.n_rank_vals)
     n = int(n_chosen)
     return np.asarray(order)[:n]
 
 
-def solve_instance(inst, force_device=None):
+def solve_instance(inst, force_device=None, mesh=None):
     """Solve a canonicalized instance; returns dense set indices in pick
     order (np.int32 array).
 
-    Small instances run on the exact numpy mirror (identical output);
-    large ones on device.  force_device=True/False overrides.
+    Small instances run on the exact numpy mirror; large ones as a host
+    loop of batched device steps (identical output — parity-tested).
+    force_device=True/False overrides the size heuristic.  If `mesh`
+    is a jax.sharding.Mesh with more than one device, the solve is
+    sharded over it (catch_tpu.parallel.set_cover), again with
+    identical output.
     """
     if inst.n_sets == 0 or inst.u_len == 0 or len(inst.ivl_start) == 0:
         return np.empty(0, dtype=np.int32)
     if np.all(inst.can_uncover >= inst.u_size):
         return np.empty(0, dtype=np.int32)
+    if mesh is not None and mesh.devices.size > 1:
+        from catch_tpu.parallel.set_cover import solve_instance_sharded
+        return solve_instance_sharded(inst, mesh=mesh)
+    n_elems = inst.u_len + len(inst.ivl_start)
     use_device = (force_device if force_device is not None
-                  else inst.u_len > _HOST_SOLVE_MAX_ULEN)
-    if use_device:
-        return _solve_device(inst)
+                  else n_elems > _HOST_SOLVE_MAX_ELEMS)
+    if use_device and inst.u_len < np.iinfo(np.int32).max:
+        try:
+            return _solve_device_steps(inst)
+        except Exception:
+            logger.exception(
+                "Device set-cover solve failed; falling back to the "
+                "host solver")
     return _solve_host(inst)
 
 
@@ -496,7 +627,18 @@ def _merge_by_group(group_key, starts, ends):
     """
     if len(starts) == 0:
         return group_key, starts, ends
-    order = np.lexsort((ends, starts, group_key))
+    # Sort by (group, start): a single composite-key argsort is ~5x
+    # faster than np.lexsort at millions of intervals.  End order
+    # within equal (group, start) is irrelevant to the running-max
+    # merge below.  Fall back to lexsort if the key would overflow.
+    s_min = int(starts.min())
+    s_span = int(ends.max()) - s_min + 2
+    g_max = int(group_key.max())
+    if (g_max + 1) * s_span < np.iinfo(np.int64).max // 2:
+        key = group_key * np.int64(s_span) + (starts - s_min)
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((ends, starts, group_key))
     g = group_key[order]
     s = starts[order]
     e = ends[order]
