@@ -44,11 +44,18 @@ class SetCoverFilter(BaseFilter):
                  custom_cover_range_tolerant_fn=None,
                  identify=False, avoided_genomes=[], coverage=1.0,
                  cover_extension=0, kmer_probe_map_k=20,
-                 kmer_probe_map_use_native_dict=False):
+                 kmer_probe_map_use_native_dict=False, mesh=None):
         """Args mirror the reference contract
         (set_cover_filter.py:200-290); kmer_probe_map_use_native_dict is
         accepted for compatibility and ignored (no shared-memory dict
-        exists here)."""
+        exists here).  `mesh` is an optional jax.sharding.Mesh: with
+        more than one device, the cover scan verifies data-parallel
+        across it and the greedy solve shards candidate sets over it
+        (catch_tpu/parallel/set_cover.py) — the output probe set is
+        identical for every device count (the TPU analogue of the
+        reference's num_processes-invariance contract,
+        reference test_set_cover_filter.py:134-175)."""
+        self.mesh = mesh
         if custom_cover_range_fn is not None:
             fn_path, fn_name = custom_cover_range_fn
             fn = dynamic_load.load_function_from_path(fn_path, fn_name)
@@ -102,7 +109,8 @@ class SetCoverFilter(BaseFilter):
         (reference set_cover_filter.py:414-470).
         """
         searcher = ProbeSearcher(candidate_probes, self.model,
-                                 kmer_probe_map_k=self.kmer_probe_map_k)
+                                 kmer_probe_map_k=self.kmer_probe_map_k,
+                                 mesh=self.mesh)
         self._last_searcher = searcher
         # Reference semantics: later duplicates take the id
         # (set_cover_filter.py:407-410 builds probe->id with last-wins)
@@ -164,7 +172,7 @@ class SetCoverFilter(BaseFilter):
         if need_searcher:
             searcher = ProbeSearcher(
                 candidate_probes, self.tolerant_model,
-                kmer_probe_map_k=self.kmer_probe_map_k)
+                kmer_probe_map_k=self.kmer_probe_map_k, mesh=self.mesh)
 
         if self.identify:
             num_groupings_hit = {p: 0 for p in candidate_probes}
@@ -254,7 +262,7 @@ class SetCoverFilter(BaseFilter):
             logger.info("Solving set cover instance (group %d of %d)",
                         group_i + 1, len(input))
             t0 = _time.time()
-            chosen = set_cover.solve_instance(inst)
+            chosen = set_cover.solve_instance(inst, mesh=self.mesh)
             stats["solve_seconds"] += _time.time() - t0
             stats["set_cover_picks"] += len(chosen)
             n_min_rank = int(np.sum(ranks[chosen] > ranks.min())) \

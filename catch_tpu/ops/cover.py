@@ -196,15 +196,19 @@ class ProbeSearcher:
     lifecycle; probe tensors live on device for the searcher's lifetime.
     """
 
-    def __init__(self, probes, model, kmer_probe_map_k=20):
+    def __init__(self, probes, model, kmer_probe_map_k=20, mesh=None):
         """
         Args:
             probes: list of catch_tpu.probe.Probe
             model: CoverModel
             kmer_probe_map_k: min_k and k for seed-length selection
                 (reference SetCoverFilter's kmer_probe_map_k)
+            mesh: optional jax.sharding.Mesh; when it has more than one
+                device, the batched scan verifies candidates
+                data-parallel across it (identical output)
         """
         self.model = model
+        self.mesh = mesh
         # Lightweight run counters (candidate pairs admitted to
         # verification) for the north-star bench metrics.
         self.stats = {"candidates": 0}
@@ -765,8 +769,9 @@ class ProbeSearcher:
         if self.empty or not sequences:
             return empty
         total_bp = sum(len(s) for s in sequences)
+        multi_dev = self.mesh is not None and self.mesh.devices.size > 1
         use_batch = (force_batch if force_batch is not None
-                     else total_bp >= self._BATCH_MIN_BP)
+                     else (total_bp >= self._BATCH_MIN_BP or multi_dev))
         if use_batch and self.model.custom_fn is not None:
             use_batch = False
         if use_batch:

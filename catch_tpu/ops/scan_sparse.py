@@ -55,13 +55,14 @@ _CHUNK = 1 << 17
 # the corpus-wide rolling hash (u64 hashes = 8 B/position).
 _JOIN_SLAB = 1 << 24
 
+# Raw join hits expanded per device dispatch (bounds device scratch for
+# the expansion+sort+dedup kernel: ~6 int32 arrays of this length).
+_EXPAND_SLAB = 1 << 26
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok"))
-def _verify_chunk(mega, probe_codes_flat, pg, start, poff0, ov, thres,
-                  n_seq, k_seed, *, L, K, C, cap, seed_req, fast_ok):
-    """Verify one chunk of candidates on device.
+
+def _verify_core(mega, probe_codes_flat, pg, start, poff0, ov, thres,
+                 n_seq, k_seed, *, L, K, C, cap, seed_req, fast_ok):
+    """Traced body of the candidate verification (see _verify_chunk).
 
     mega: (mega_len + L,) uint8 codes (0 = PAD; L tail pad)
     probe_codes_flat: (P, L) uint8
@@ -136,12 +137,211 @@ def _verify_chunk(mega, probe_codes_flat, pg, start, poff0, ov, thres,
     return pg[rc], sp_s, sp_e, ok, nq
 
 
+_verify_chunk = functools.partial(
+    jax.jit, static_argnames=("L", "K", "C", "cap", "seed_req",
+                              "fast_ok"))(_verify_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "L", "K", "C_loc", "cap_loc", "seed_req",
+                     "fast_ok"))
+def _verify_chunk_sharded(mega, probe_codes_flat, pg, start, poff0, ov,
+                          thres, n_seq, k_seed, *, mesh, L, K, C_loc,
+                          cap_loc, seed_req, fast_ok):
+    """Data-parallel verification over a device mesh.
+
+    The candidate axis is sharded (each device verifies C_loc
+    candidates against the replicated corpus + probe tensors — the TPU
+    form of the reference's per-range scan fan-out,
+    /root/reference/catch/probe.py:1230-1257); no collectives are
+    needed because candidates are independent.  Outputs keep the shard
+    axis: (n_dev, cap_loc) span buffers and (n_dev,) counts.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(mega, codes, pg, start, poff0, ov, thres, n_seq, k_seed):
+        sp_p, sp_s, sp_e, ok, nq = _verify_core(
+            mega, codes, pg, start, poff0, ov, thres, n_seq, k_seed,
+            L=L, K=K, C=C_loc, cap=cap_loc, seed_req=seed_req,
+            fast_ok=fast_ok)
+        return sp_p[None], sp_s[None], sp_e[None], ok[None], nq[None]
+
+    sh = P("d")
+    repl = P()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(repl, repl, sh, sh, sh, sh, sh, sh, repl),
+        out_specs=(sh, sh, sh, sh, sh),
+        check_vma=False,
+    )(mega, probe_codes_flat, pg, start, poff0, ov, thres, n_seq, k_seed)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "S", "cap"))
+def _expand_join_jit(lo, cnt, pos_seq, total, join_p, join_pos,
+                     *, T, S, cap):
+    """Expand (bucket lo, count) join hits to deduplicated (p, a) pairs.
+
+    The device form of the join's hot loop: raw hits (tens to hundreds
+    of millions on conserved corpora — each candidate pair shares ~15
+    selected minimizers) are materialized, gathered, sorted, and
+    deduplicated entirely on device; only the deduplicated pairs return
+    to the host.
+
+    lo/cnt/pos_seq: (S,) int32 bucket starts / sizes / query positions
+        (cnt == 0 padding allowed; boundary scatters use add, which
+        telescopes across empty buckets)
+    total: int32 true number of hits (= sum(cnt) over real entries)
+    join_p/join_pos: probe table columns, int32
+    T: static hit capacity (>= total); S, cap: static shapes
+
+    Returns (p, a, ok, n_pairs): deduplicated pairs in the first
+    entries where ok is True; n_pairs > cap signals overflow.
+    """
+    csum = jnp.cumsum(cnt)
+    # Table index per hit via one scatter + cumsum (see the host mirror
+    # in ProbeSearcher._join_pairs).
+    step = jnp.ones((T,), jnp.int32)
+    step = step.at[0].set(lo[0])
+    step = step.at[csum[:-1]].add(lo[1:] - lo[:-1] - cnt[:-1],
+                                  mode="drop")
+    idx = jnp.cumsum(step)
+    step2 = jnp.zeros((T,), jnp.int32)
+    step2 = step2.at[0].set(pos_seq[0])
+    step2 = step2.at[csum[:-1]].add(pos_seq[1:] - pos_seq[:-1],
+                                    mode="drop")
+    pos_rep = jnp.cumsum(step2)
+
+    t = jnp.arange(T, dtype=jnp.int32)
+    valid = t < total
+    idx = jnp.clip(idx, 0, join_p.shape[0] - 1)
+    p = jnp.where(valid, join_p[idx], jnp.int32(np.iinfo(np.int32).max))
+    a = jnp.where(valid, pos_rep - join_pos[idx], 0)
+    p_s, a_s = jax.lax.sort((p, a), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (p_s[1:] != p_s[:-1]) | (a_s[1:] != a_s[:-1])])
+    keep = first & (t < total)  # sorted: valids occupy the front
+    n_pairs = jnp.sum(keep, dtype=jnp.int32)
+    rows = jnp.nonzero(keep, size=cap, fill_value=-1)[0]
+    ok = rows >= 0
+    rc = jnp.maximum(rows, 0)
+    return p_s[rc], a_s[rc], ok, n_pairs
+
+
+def _device_join(searcher, pos_seq, hs):
+    """Expansion + dedup of join hits on device, slabbed by hit count.
+
+    pos_seq/hs: selected query positions and their hashes (host arrays).
+    Returns deduplicated (p, a) int64 arrays (deduplicated per slab;
+    cross-slab duplicates are impossible because slabs partition query
+    positions and a pair's hits from one shared region span < Lmax
+    positions... they are possible at slab edges, so a final host-side
+    unique runs only when there is more than one slab).
+    """
+    lo = np.searchsorted(searcher._join_h, hs, side="left")
+    hi = np.searchsorted(searcher._join_h, hs, side="right")
+    cnt = (hi - lo).astype(np.int64)
+    nz = cnt > 0
+    lo, cnt, pos_seq = lo[nz], cnt[nz], pos_seq[nz]
+    if len(lo) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    csum_all = np.cumsum(cnt)
+    total_all = int(csum_all[-1])
+
+    join_p_dev = jnp.asarray(searcher._join_p.astype(np.int32))
+    join_pos_dev = jnp.asarray(searcher._join_pos.astype(np.int32))
+
+    # Slab boundaries on the query axis so each slab expands at most
+    # _EXPAND_SLAB hits.
+    bounds = [0]
+    while csum_all[-1] - (csum_all[bounds[-1] - 1] if bounds[-1] else 0) \
+            > _EXPAND_SLAB:
+        base = csum_all[bounds[-1] - 1] if bounds[-1] else 0
+        nxt = int(np.searchsorted(csum_all, base + _EXPAND_SLAB,
+                                  side="right"))
+        nxt = max(nxt, bounds[-1] + 1)
+        bounds.append(nxt)
+    bounds.append(len(lo))
+
+    out_p, out_a = [], []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        if b0 == b1:
+            continue
+        base = csum_all[b0 - 1] if b0 else 0
+        total = int(csum_all[b1 - 1] - base)
+        S = _next_pow2(b1 - b0)
+        T = _next_pow2(max(total, 1))
+        cap = _next_pow2(max(total // 4, 1 << 12))
+        lo_p = np.zeros(S, np.int32)
+        cnt_p = np.zeros(S, np.int32)
+        pos_p = np.zeros(S, np.int32)
+        lo_p[:b1 - b0] = lo[b0:b1]
+        cnt_p[:b1 - b0] = cnt[b0:b1]
+        pos_p[:b1 - b0] = pos_seq[b0:b1]
+        while True:
+            p, a, ok, n_pairs = _expand_join_jit(
+                jnp.asarray(lo_p), jnp.asarray(cnt_p), jnp.asarray(pos_p),
+                jnp.int32(total), join_p_dev, join_pos_dev,
+                T=T, S=S, cap=cap)
+            n = int(n_pairs)
+            if n <= cap:
+                break
+            cap = _next_pow2(n)
+        okn = np.asarray(ok)
+        out_p.append(np.asarray(p)[okn].astype(np.int64))
+        out_a.append(np.asarray(a)[okn].astype(np.int64))
+    p = np.concatenate(out_p)
+    a = np.concatenate(out_a)
+    if len(bounds) > 2:
+        # A pair found from minimizers in two different slabs appears
+        # once per slab; dedup across slabs.
+        key = np.unique(p * np.int64(1 << 34) + a)
+        p, a = key >> np.int64(34), key & np.int64((1 << 34) - 1)
+    return p, a
+
+
 def _join_corpus(searcher, mega_codes):
-    """Corpus-wide k-mer join, slabbed to bound host memory.
+    """Corpus-wide k-mer join: minimizer selection on the host (slabbed
+    to bound the u64 hash memory), expansion + dedup on device.
 
     Returns deduplicated (probe_idx, alignment) int64 arrays in mega
     coordinates.
     """
+    import os
+
+    n = len(mega_codes)
+    k = searcher.k_seed
+    if os.environ.get("CATCH_TPU_JOIN") == "host":
+        return _join_corpus_host(searcher, mega_codes)
+    if getattr(searcher, "_join_h", None) is None:
+        searcher._build_join_table()
+    kj, w = searcher._join_params()
+    pos_parts, hash_parts = [], []
+    for s0 in range(0, n, _JOIN_SLAB):
+        s1 = min(n, s0 + _JOIN_SLAB)
+        # Overlap of k_seed codes so every minimizer window *starting*
+        # in [s0, s1] is fully contained in some slab (window needs
+        # codes q .. q + w + kj - 2, and kj + w - 1 == k_seed); the
+        # slabbed union of window minima then equals the unslabbed one.
+        h, ok = searcher._rolling_hashes(
+            mega_codes[None, s0:min(n, s1 + k)], k=kj)
+        sel = searcher._minimizer_select(h, ok, w)
+        # Positions owned by this slab (the overlap belongs to the next)
+        sel[0, s1 - s0:] = False
+        pos = np.flatnonzero(sel[0])
+        pos_parts.append(pos + s0)
+        hash_parts.append(h[0][pos])
+    pos_seq = np.concatenate(pos_parts)
+    hs = np.concatenate(hash_parts)
+    if len(pos_seq) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return _device_join(searcher, pos_seq, hs)
+
+
+def _join_corpus_host(searcher, mega_codes):
+    """Host mirror of _join_corpus (CATCH_TPU_JOIN=host; also the
+    shape the per-sequence path uses via ProbeSearcher._join_pairs)."""
     n = len(mega_codes)
     k = searcher.k_seed
     if n <= _JOIN_SLAB:
@@ -149,11 +349,6 @@ def _join_corpus(searcher, mega_codes):
     ps, as_ = [], []
     for s0 in range(0, n, _JOIN_SLAB):
         s1 = min(n, s0 + _JOIN_SLAB)
-        # Overlap of k_seed codes so every minimizer window *starting*
-        # in [s0, s1] is fully contained in some slab (window needs
-        # codes q .. q + w + kj - 2, and kj + w - 1 == k_seed); the
-        # slabbed union of window minima then equals the unslabbed one,
-        # with cross-slab duplicates removed by the final dedup.
         p, a = searcher._join_pairs(mega_codes[s0:min(n, s1 + k)])
         ps.append(p)
         as_.append(a + s0)
@@ -230,11 +425,18 @@ def scan_corpus_sparse(searcher, sequences):
     mega_dev = jnp.asarray(mega)
     codes_dev = jnp.asarray(searcher.probe_codes)
 
-    C = min(_CHUNK, max(1 << 10, _next_pow2(len(p))))
-    cap0 = 2 * C
+    mesh = getattr(searcher, "mesh", None)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if n_dev > 1:
+        C_loc = min(_CHUNK, max(1 << 10,
+                                _next_pow2(-(-len(p) // n_dev))))
+        C = C_loc * n_dev
+    else:
+        C_loc = C = min(_CHUNK, max(1 << 10, _next_pow2(len(p))))
+    cap0 = 2 * C_loc
 
-    def dispatch(sl, cap):
-        return _verify_chunk(
+    def dispatch(sl, cap_loc):
+        args = (
             mega_dev, codes_dev,
             jnp.asarray(_pad_i32(p[sl], C)),
             jnp.asarray(_pad_i32(st[sl], C)),
@@ -242,8 +444,13 @@ def scan_corpus_sparse(searcher, sequences):
             jnp.asarray(_pad_i32(ov[sl], C)),
             jnp.asarray(_pad_i32(thres[sl], C)),
             jnp.asarray(_pad_i32(n_seq[sl], C)),
-            jnp.int32(k_seed),
-            L=L, K=K, C=C, cap=cap, seed_req=seed_req,
+            jnp.int32(k_seed))
+        if n_dev > 1:
+            return _verify_chunk_sharded(
+                *args, mesh=mesh, L=L, K=K, C_loc=C_loc, cap_loc=cap_loc,
+                seed_req=seed_req, fast_ok=searcher.fast_ok)
+        return _verify_chunk(
+            *args, L=L, K=K, C=C, cap=cap_loc, seed_req=seed_req,
             fast_ok=searcher.fast_ok)
 
     # Dispatch every chunk before reading any result back: JAX queues
@@ -254,18 +461,18 @@ def scan_corpus_sparse(searcher, sequences):
     pending = [dispatch(sl, cap0) for sl in slices]
     out_p, out_s, out_e = [], [], []
     for sl, (sp_p, sp_s, sp_e, ok, nq) in zip(slices, pending):
-        n_q = int(nq)
+        n_q = int(np.max(np.asarray(nq)))
         cap = cap0
         while n_q > cap:  # rare overflow: retry this chunk, bigger cap
             cap = _next_pow2(n_q)
             sp_p, sp_s, sp_e, ok, nq = dispatch(sl, cap)
-            n_q = int(nq)
+            n_q = int(np.max(np.asarray(nq)))
         if n_q == 0:
             continue
-        okn = np.asarray(ok)
-        out_p.append(np.asarray(sp_p)[okn].astype(np.int64))
-        out_s.append(np.asarray(sp_s)[okn].astype(np.int64))
-        out_e.append(np.asarray(sp_e)[okn].astype(np.int64))
+        okn = np.asarray(ok).reshape(-1)
+        out_p.append(np.asarray(sp_p).reshape(-1)[okn].astype(np.int64))
+        out_s.append(np.asarray(sp_s).reshape(-1)[okn].astype(np.int64))
+        out_e.append(np.asarray(sp_e).reshape(-1)[okn].astype(np.int64))
     if not out_p:
         return empty
     sp_p = np.concatenate(out_p)

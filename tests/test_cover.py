@@ -332,3 +332,68 @@ class TestBatchedCorpusScan(unittest.TestCase):
         b = searcher.find_probe_covers_flat(seqs, force_batch=False)
         key = lambda f: sorted(zip(*(x.tolist() for x in f)))
         self.assertEqual(key(a), key(b))
+
+
+class TestJoinSlabbing(unittest.TestCase):
+    """Device-join expansion and slab boundaries preserve the exact
+    candidate set (scan_sparse._join_corpus vs the host mirror)."""
+
+    def _mega(self, n_genomes=12):
+        import gzip
+        from catch_tpu.utils import seq_io
+        from catch_tpu.filters.candidates import (
+            make_candidate_probes_from_sequences)
+        from catch_tpu.ops import encode
+        genomes = seq_io.read_genomes_from_fasta(
+            "tests/data/zaire_ebolavirus.fasta.gz")[:n_genomes]
+        cands = []
+        for g in genomes:
+            cands.extend(make_candidate_probes_from_sequences(
+                g.seqs, probe_length=100, probe_stride=50))
+        probes = list({p.seq_str: p for p in cands}.values())
+        searcher = cover.ProbeSearcher(
+            probes, cover.CoverModel(mismatches=2, lcf_thres=60))
+        seqs = [s for g in genomes for s in g.seqs]
+        L = searcher.Lmax
+        pos = L
+        starts = []
+        for s in seqs:
+            starts.append(pos)
+            pos += len(s) + L
+        mega = np.zeros(pos + L, dtype=np.uint8)
+        for st, s in zip(starts, seqs):
+            mega[st:st + len(s)] = searcher.alphabet.encode(
+                encode.encode_bytes(s))
+        return searcher, mega[:pos]
+
+    def _pairs(self, r):
+        return set(zip(r[0].tolist(), r[1].tolist()))
+
+    def test_device_join_matches_host_and_slabs(self):
+        import os
+        from catch_tpu.ops import scan_sparse
+        searcher, mega = self._mega()
+        os.environ["CATCH_TPU_JOIN"] = "host"
+        try:
+            want = self._pairs(scan_sparse._join_corpus(searcher, mega))
+        finally:
+            del os.environ["CATCH_TPU_JOIN"]
+        self.assertGreater(len(want), 1000)
+        got = self._pairs(scan_sparse._join_corpus(searcher, mega))
+        self.assertEqual(got, want)
+        # Tiny expansion slabs exercise cross-slab dedup
+        save = scan_sparse._EXPAND_SLAB
+        scan_sparse._EXPAND_SLAB = 1 << 14
+        try:
+            got = self._pairs(scan_sparse._join_corpus(searcher, mega))
+        finally:
+            scan_sparse._EXPAND_SLAB = save
+        self.assertEqual(got, want)
+        # Tiny hash slabs exercise minimizer-window ownership at edges
+        save = scan_sparse._JOIN_SLAB
+        scan_sparse._JOIN_SLAB = 1 << 15
+        try:
+            got = self._pairs(scan_sparse._join_corpus(searcher, mega))
+        finally:
+            scan_sparse._JOIN_SLAB = save
+        self.assertEqual(got, want)

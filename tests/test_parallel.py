@@ -6,6 +6,7 @@ test_set_cover_filter.py:134-175): device count must not change results.
 """
 
 import random
+import unittest
 
 import numpy as np
 import pytest
@@ -101,3 +102,33 @@ def test_sharded_match_counts(n_devices):
 def test_make_mesh_too_many_devices():
     with pytest.raises(ValueError):
         make_mesh(len(jax.devices()) + 1)
+
+
+class TestShardedPipeline(unittest.TestCase):
+    """The real SetCoverFilter pipeline emits an identical probe set for
+    every device count (the TPU analogue of the reference's
+    num_processes-invariance contract, test_set_cover_filter.py:134-175)."""
+
+    def test_set_cover_filter_mesh_invariance(self):
+        from catch_tpu.utils import seq_io
+        from catch_tpu.filters.duplicate import DuplicateFilter
+        from catch_tpu.filters.set_cover_filter import SetCoverFilter
+        from catch_tpu.designer import ProbeDesigner
+        from catch_tpu.parallel import make_mesh
+
+        genomes = seq_io.read_genomes_from_fasta(
+            "tests/data/zaire_ebolavirus.fasta.gz")[:3]
+
+        def run(mesh):
+            scf = SetCoverFilter(mismatches=1, lcf_thres=80,
+                                 cover_extension=20, mesh=mesh)
+            d = ProbeDesigner([genomes], [DuplicateFilter(), scf],
+                              probe_length=80, probe_stride=40)
+            d.design()
+            return sorted(p.seq_str for p in d.final_probes)
+
+        want = run(None)
+        self.assertGreater(len(want), 0)
+        for n in (2, 8):
+            got = run(make_mesh(n))
+            self.assertEqual(got, want)
