@@ -42,6 +42,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from catch_tpu.utils.profiling import maybe_trace
+
 logger = logging.getLogger(__name__)
 
 __all__ = ["scan_corpus_sparse"]
@@ -397,7 +399,8 @@ def scan_corpus_sparse(searcher, sequences):
             encode.encode_bytes(s))
     ends = starts + seq_lens
 
-    p, a = _join_corpus(searcher, mega[:total])
+    with maybe_trace("cover_scan_join"):
+        p, a = _join_corpus(searcher, mega[:total])
     empty = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
     if len(p) == 0:
         return empty
@@ -458,7 +461,8 @@ def scan_corpus_sparse(searcher, sequences):
     # transfers (the readback is the only sync point per chunk).
     slices = [slice(c0, min(c0 + C, len(p)))
               for c0 in range(0, len(p), C)]
-    pending = [dispatch(sl, cap0) for sl in slices]
+    with maybe_trace("cover_scan_verify"):
+        pending = [dispatch(sl, cap0) for sl in slices]
     out_p, out_s, out_e = [], [], []
     for sl, (sp_p, sp_s, sp_e, ok, nq) in zip(slices, pending):
         n_q = int(np.max(np.asarray(nq)))

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from catch_tpu.utils import intervals as intervals_mod
+from catch_tpu.utils.profiling import maybe_trace
 
 logger = logging.getLogger(__name__)
 
@@ -520,19 +521,20 @@ def _solve_device_steps(inst):
     # rank tier, or stops, so n_rank_vals + n_sets dispatches suffice.
     max_dispatch = 2 + (inst.n_sets + inst.n_rank_vals
                         ) // max(1, _STEPS_PER_DISPATCH // 2)
-    for _ in range(max_dispatch):
-        covered, len_u, in_cover, cur_rank, stop, chosens, picks = \
-            _steps_jit(covered, len_u, in_cover, cur_rank, *consts,
-                       n_rank_vals=inst.n_rank_vals,
-                       n_steps=_STEPS_PER_DISPATCH)
-        picks_np = np.asarray(picks)
-        chosens_np = np.asarray(chosens)
-        order.extend(chosens_np[picks_np].tolist())
-        if bool(stop):
-            break
-    else:
-        logger.warning("Batched-step solver hit its dispatch bound; "
-                       "solution may be truncated")
+    with maybe_trace("set_cover_solve"):
+        for _ in range(max_dispatch):
+            covered, len_u, in_cover, cur_rank, stop, chosens, picks = \
+                _steps_jit(covered, len_u, in_cover, cur_rank, *consts,
+                           n_rank_vals=inst.n_rank_vals,
+                           n_steps=_STEPS_PER_DISPATCH)
+            picks_np = np.asarray(picks)
+            chosens_np = np.asarray(chosens)
+            order.extend(chosens_np[picks_np].tolist())
+            if bool(stop):
+                break
+        else:
+            logger.warning("Batched-step solver hit its dispatch bound; "
+                           "solution may be truncated")
     return np.array(order, dtype=np.int32)
 
 

@@ -397,3 +397,70 @@ class TestJoinSlabbing(unittest.TestCase):
         finally:
             scan_sparse._JOIN_SLAB = save
         self.assertEqual(got, want)
+
+
+class TestPlantedProbesAtScale(unittest.TestCase):
+    """Planted-probe recall at the reference's test scales (25 kb to
+    1.6 Mb genomes, /root/reference/catch/tests/test_probe.py:792-941),
+    run through BOTH the per-sequence and batched device paths.
+
+    Exhaustive seeding guarantees 100% recall (the reference asserts
+    only >= 95% for its Monte-Carlo k-mer map) and zero spurious
+    probes; cover positions carry the reference's tolerance for chance
+    extension (-7 .. +15 around the planted site).
+    """
+
+    def _run(self, seed, n, n_probes, L=100, m=2, lcf=85):
+        rng = np.random.RandomState(seed)
+        alpha = np.array(list("ACGT"))
+        seq_arr = rng.choice(alpha, n)
+        planted = []
+        taken = set()
+        for _ in range(n_probes):
+            while True:
+                pos = rng.randint(0, n - L)
+                if all(abs(pos - t) >= L for t in taken):
+                    break
+            taken.add(pos)
+            chars = list(seq_arr[pos:pos + L])
+            for _ in range(rng.randint(0, m + 1)):
+                j = rng.randint(0, L)
+                chars[j] = alpha[(list(alpha).index(chars[j]) + 1) % 4]
+            planted.append((Probe.from_str("".join(chars)), pos))
+        # Decoys: random probes that should match nowhere
+        decoys = [Probe.from_str("".join(rng.choice(alpha, L)))
+                  for _ in range(n_probes // 4)]
+        seq = "".join(seq_arr)
+        probes = [p for p, _ in planted] + decoys
+        model = cover.CoverModel(mismatches=m, lcf_thres=lcf)
+        searcher = cover.ProbeSearcher(probes, model)
+
+        for force_batch in (False, True):
+            r = searcher.find_probe_covers_flat([seq],
+                                                force_batch=force_batch)
+            got = {}
+            for pi, si, s, e in zip(*r):
+                got.setdefault(int(pi), []).append((int(s), int(e)))
+            for i, (p, pos) in enumerate(planted):
+                self.assertIn(i, got, f"planted probe at {pos} missed "
+                                      f"(force_batch={force_batch})")
+                ok = any(pos - 7 <= s <= pos and
+                         pos + L <= e <= pos + L + 15
+                         for s, e in got[i])
+                self.assertTrue(ok, (pos, got[i], force_batch))
+            n_planted_found = sum(1 for i in got if i < len(planted))
+            self.assertEqual(n_planted_found, len(planted))
+            # A decoy landing a >= 85-long <=2-mismatch window in a
+            # random 4-letter genome is cryptographically unlikely
+            for i in got:
+                self.assertLess(i, len(planted),
+                                f"spurious decoy cover: {got[i]}")
+
+    def test_25kb(self):
+        self._run(seed=10, n=25_000, n_probes=40)
+
+    def test_250kb(self):
+        self._run(seed=11, n=250_000, n_probes=120)
+
+    def test_1600kb(self):
+        self._run(seed=12, n=1_600_000, n_probes=45)

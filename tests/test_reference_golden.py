@@ -1,0 +1,131 @@
+"""Reference-golden parity tests.
+
+The fixtures in tests/data/golden/ are outputs of the actual reference
+implementation (/root/reference/bin/design.py) on subsets of the Ebola
+fixture, generated with:
+
+    ref_ebola5_m0.fasta:  design.py ebola5.fasta  -pl 100 -m 0 -e 0
+    ref_ebola10_m2.fasta: design.py ebola10.fasta -pl 100 -m 2 -l 60 -e 50
+
+where ebolaN.fasta is the first N records of
+tests/data/zaire_ebolavirus.fasta.gz.
+
+- With -m 0 the reference is fully deterministic (pigeonhole k-mer
+  map), so the probe-record SET must match exactly (426 probes).  The
+  write ORDER is not compared: the reference iterates a Python set of
+  ints when mapping its solution back to probes
+  (/root/reference/catch/filter/set_cover_filter.py:921-928), which is
+  unspecified; BASELINE.md's target is "identical FASTA modulo
+  deterministic tie-breaking".
+- With -m 2 -l 60 the reference uses a Monte-Carlo random k-mer map
+  (recall < 1), while this engine seeds exhaustively, so our greedy
+  cover may legitimately pick FEWER probes.  The test asserts (a) our
+  count <= the reference's, and (b) our probe set fully covers every
+  genome under the design model — the guarantee the reference can only
+  approximate.
+
+Set CATCH_TPU_RUN_REFERENCE=1 to additionally regenerate the m=0
+golden by invoking the reference live (requires /root/reference).
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+import unittest
+
+import numpy as np
+
+from catch_tpu.utils import seq_io
+from catch_tpu.filters.duplicate import DuplicateFilter
+from catch_tpu.filters.set_cover_filter import SetCoverFilter
+from catch_tpu.designer import ProbeDesigner
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden")
+FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                       "zaire_ebolavirus.fasta.gz")
+
+
+def _read_records(path):
+    recs = set()
+    header = None
+    seq = []
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            if header is not None:
+                recs.add((header, "".join(seq)))
+            header, seq = line, []
+        else:
+            seq.append(line)
+    if header is not None:
+        recs.add((header, "".join(seq)))
+    return recs
+
+
+def _design(n_genomes, mismatches, lcf_thres, cover_extension):
+    genomes = seq_io.read_genomes_from_fasta(FIXTURE)[:n_genomes]
+    scf = SetCoverFilter(mismatches=mismatches, lcf_thres=lcf_thres,
+                         cover_extension=cover_extension)
+    designer = ProbeDesigner([genomes], [DuplicateFilter(), scf],
+                             probe_length=100, probe_stride=50)
+    designer.design()
+    return genomes, designer.final_probes
+
+
+class TestReferenceGoldenM0(unittest.TestCase):
+    def test_exact_probe_set(self):
+        _, probes = _design(5, mismatches=0, lcf_thres=100,
+                            cover_extension=0)
+        got = {(">" + (p.header or f"probe_{p.identifier()}"), p.seq_str)
+               for p in probes}
+        want = _read_records(os.path.join(GOLDEN, "ref_ebola5_m0.fasta"))
+        self.assertEqual(len(want), 426)
+        self.assertEqual(got, want)
+
+    @unittest.skipUnless(os.environ.get("CATCH_TPU_RUN_REFERENCE"),
+                         "set CATCH_TPU_RUN_REFERENCE=1 to run the "
+                         "reference implementation live")
+    def test_against_live_reference(self):
+        genomes = seq_io.read_genomes_from_fasta(FIXTURE)[:5]
+        with tempfile.TemporaryDirectory() as d:
+            inp = os.path.join(d, "in.fasta")
+            out = os.path.join(d, "out.fasta")
+            with open(inp, "w") as f:
+                for i, g in enumerate(genomes):
+                    f.write(f">genome{i}\n{g.seqs[0]}\n")
+            env = dict(os.environ, PYTHONPATH="/root/reference")
+            subprocess.run(
+                [sys.executable, "/root/reference/bin/design.py", inp,
+                 "-o", out, "-pl", "100", "-m", "0", "-e", "0"],
+                check=True, env=env, capture_output=True)
+            live = {seq for _, seq in _read_records(out)}
+        fixture = {seq for _, seq in _read_records(
+            os.path.join(GOLDEN, "ref_ebola5_m0.fasta"))}
+        self.assertEqual(live, fixture)
+
+
+class TestReferenceGoldenM2(unittest.TestCase):
+    def test_count_and_coverage_parity(self):
+        genomes, probes = _design(10, mismatches=2, lcf_thres=60,
+                                  cover_extension=50)
+        ref_count = len(_read_records(
+            os.path.join(GOLDEN, "ref_ebola10_m2.fasta")))
+        self.assertEqual(ref_count, 128)
+        self.assertLessEqual(len(probes), ref_count)
+        self.assertGreater(len(probes), ref_count // 2)
+
+        # Full-coverage guarantee: re-scan the chosen probes over every
+        # genome under the design model and assert no position is left
+        # uncovered after +-50 extension (the coverage=1.0 contract).
+        from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+        searcher = ProbeSearcher(list(probes), CoverModel(2, 60))
+        for g in genomes:
+            for seq in g.seqs:
+                covered = np.zeros(len(seq) + 1, dtype=np.int64)
+                for spans in searcher.find_probe_covers(seq).values():
+                    for (a, b) in spans:
+                        covered[max(0, a - 50)] += 1
+                        covered[min(len(seq), b + 50)] -= 1
+                self.assertTrue(np.all(np.cumsum(covered[:-1]) > 0),
+                                "every genome position must be covered")
