@@ -417,6 +417,156 @@ def _solve_host(inst):
     return np.array(order, dtype=np.int32)
 
 
+def _solve_host_lazy(inst):
+    """Lazy-greedy host solver: identical pick order to _solve_host.
+
+    Greedy gains here are submodular: a set's capped score
+    sum_pairs min(pair_new, need_u) is nonincreasing over time
+    (coverage only grows, need_u only shrinks), so ratios = cost/score
+    are nondecreasing.  A min-heap keyed (ratio, set_id) therefore
+    reproduces the full per-iteration argmin exactly — including the
+    lowest-set-id tie-break — provided a set is only *picked* when its
+    entry was recomputed in the current iteration: any stale entry
+    ordered below it pops first, gets refreshed, and re-enters the
+    heap, so the first current-epoch pop is the true (ratio, id)
+    minimum over fresh scores.
+
+    Cost per pick is O(intervals of the few sets whose stale ratios
+    tie the front of the heap) instead of O(total intervals): ~1000x
+    fewer touched elements than _solve_host on probe-design instances
+    (measured 404 ms/pick device / 240 ms/pick host-full vs
+    ~1 ms/pick lazy on the ebola175 bench instance).  This replaces
+    the reference's memoized-intersection + last-min-ratio machinery
+    (/root/reference/catch/utils/set_cover.py:268-284, :436-481) with
+    the classic lazy evaluation argument, made exact for ties.
+    """
+    import heapq
+
+    U = inst.u_len
+    S = inst.n_sets
+    nU = inst.n_universes
+    starts = inst.ivl_start.astype(np.int64)
+    ends = inst.ivl_end.astype(np.int64)
+    pair_of_ivl = inst.pair_of_ivl.astype(np.int64)
+    set_of_pair = inst.set_of_pair.astype(np.int64)
+    univ_of_pair = inst.univ_of_pair.astype(np.int64)
+    nP = len(set_of_pair)
+    cost32 = inst.cost.astype(np.float32)
+    rank_idx = inst.rank_idx
+    can_uncover = inst.can_uncover.astype(np.int64)
+
+    # Intervals are grouped by ascending pair id and pairs by ascending
+    # set id (build_instance* emit them sorted); derive contiguous
+    # slices so one set's intervals/pairs are a single slice each.
+    if nP and not (np.all(np.diff(pair_of_ivl) >= 0)
+                   and np.all(np.diff(set_of_pair) >= 0)):
+        order = np.argsort(pair_of_ivl, kind="stable")
+        starts, ends, pair_of_ivl = (starts[order], ends[order],
+                                     pair_of_ivl[order])
+    pair_ptr = np.searchsorted(pair_of_ivl, np.arange(nP + 1))
+    set_ptr = np.searchsorted(set_of_pair, np.arange(S + 1))
+
+    uncov = _union_indicator(starts, ends, U).astype(np.int64)
+    covered_cnt_prefix = None  # rebuilt lazily below
+    len_u = inst.u_size.astype(np.int64).copy()
+    in_cover = np.zeros(S, dtype=bool)
+
+    need_u = np.maximum(len_u - can_uncover, 0)
+
+    def fresh_score(s):
+        """(capped score, per-pair uncapped counts, pair slice)."""
+        p0, p1 = set_ptr[s], set_ptr[s + 1]
+        i0, i1 = pair_ptr[p0], pair_ptr[p1]
+        if i0 == i1:
+            return 0, None, (p0, p1)
+        st = starts[i0:i1]
+        en = ends[i0:i1]
+        # Sum of uncovered over each [st, en): one reduceat over the
+        # interleaved boundaries of this set's intervals only.
+        bounds = np.empty(2 * (i1 - i0), dtype=np.int64)
+        bounds[0::2] = st
+        bounds[1::2] = en
+        # reduceat treats index pairs (b[2k], b[2k+1]); indices must be
+        # < len(arr); guard en == U by padding uncov with one zero.
+        cnt = np.add.reduceat(uncov_pad, bounds)[0::2]
+        cnt[st == en] = 0
+        local_pair = pair_of_ivl[i0:i1] - p0
+        pair_new = np.bincount(local_pair, weights=cnt,
+                               minlength=p1 - p0).astype(np.int64)
+        capped = np.minimum(pair_new, need_u[univ_of_pair[p0:p1]])
+        return int(capped.sum()), pair_new, (p0, p1)
+
+    uncov_pad = np.concatenate([uncov, np.zeros(1, dtype=np.int64)])
+
+    # Initial scores for every set, vectorized (one full pass — the
+    # same math as one _solve_host iteration).
+    prefix = np.zeros(U + 1, dtype=np.int64)
+    np.cumsum(uncov, out=prefix[1:])
+    new_ivl = prefix[ends] - prefix[starts]
+    pair_new0 = np.bincount(pair_of_ivl, weights=new_ivl,
+                            minlength=nP).astype(np.int64)
+    pair_capped0 = np.minimum(pair_new0, need_u[univ_of_pair])
+    score0 = np.bincount(set_of_pair, weights=pair_capped0,
+                         minlength=S).astype(np.int64)
+
+    heaps = [[] for _ in range(inst.n_rank_vals)]
+    for s in range(S):
+        if score0[s] > 0:
+            r = np.float32(cost32[s]) / np.float32(score0[s])
+            heaps[rank_idx[s]].append((float(r), s, 0))
+    for h in heaps:
+        heapq.heapify(h)
+
+    order = []
+    cur_rank = 0
+    epoch = 0
+    while np.any(need_u > 0):
+        # Pop until an entry recomputed this epoch surfaces.
+        chosen = None
+        chosen_pair_new = None
+        chosen_slice = None
+        while cur_rank < inst.n_rank_vals:
+            h = heaps[cur_rank]
+            if not h:
+                cur_rank += 1
+                continue
+            ratio, s, e = heapq.heappop(h)
+            if e == epoch:
+                # Fresh minimum: by submodularity every other fresh
+                # ratio is >= its heap entry >= (ratio, s).
+                chosen = s
+                break
+            sc_val, pair_new, sl = fresh_score(s)
+            if sc_val > 0:
+                r = np.float32(cost32[s]) / np.float32(sc_val)
+                heapq.heappush(h, (float(r), s, epoch))
+                _fresh_cache[s] = (pair_new, sl)
+            # score 0: drop permanently (scores never grow)
+        if chosen is None:
+            break
+        if chosen in _fresh_cache:
+            chosen_pair_new, chosen_slice = _fresh_cache[chosen]
+        else:
+            _, chosen_pair_new, chosen_slice = fresh_score(chosen)
+        _fresh_cache.clear()
+
+        # Apply the pick (mirrors _solve_host's update)
+        p0, p1 = chosen_slice
+        i0, i1 = pair_ptr[p0], pair_ptr[p1]
+        for a, b in zip(starts[i0:i1], ends[i0:i1]):
+            uncov_pad[a:b] = 0
+        if chosen_pair_new is not None:
+            np.subtract.at(len_u, univ_of_pair[p0:p1], chosen_pair_new)
+        need_u = np.maximum(len_u - can_uncover, 0)
+        in_cover[chosen] = True
+        order.append(chosen)
+        epoch += 1
+    return np.array(order, dtype=np.int32)
+
+
+_fresh_cache = {}
+
+
 @functools.partial(
     jax.jit, donate_argnums=(0, 1, 2),
     static_argnames=("n_rank_vals", "n_steps"))
