@@ -50,13 +50,16 @@ __all__ = ["approx", "approx_multiuniverse", "SetCoverInstance",
            "solve_instance"]
 
 # Instances below this many total elements (position axis + intervals)
-# are solved by the exact numpy mirror of the device step (the two
-# paths are bit-identical — see tests/test_set_cover.py device-parity
-# test).  Above it, the batched-step device solver wins: each greedy
-# pick is ~6 numpy passes over (u_len + M) elements on the host
-# (~240 ms/pick at u_len 3.3M / M 3.2M, measured round 2) vs ~1-3 ms
-# on a v5e, with the one-time XLA compile amortized by the persistent
-# compilation cache.
+# are solved by the exact numpy mirror of the device step; above it,
+# the lazy-greedy solver (_solve_host_lazy) wins.  Measured on the
+# ebola175 bench instance (u_len 3.3M / M 3.2M): ~240 ms/pick for the
+# full-rescan host mirror, ~400 ms/pick for the batched-step device
+# solver (each pick rescans all intervals; TPU scatters dominate), vs
+# ~1 ms/pick lazy.  Greedy set cover is inherently sequential with
+# tiny per-pick touched state, so lazy evaluation on the host is the
+# production path; the device solvers remain for parity validation and
+# for instances whose per-pick work is genuinely device-scale (see
+# solve_instance).
 _HOST_SOLVE_MAX_ELEMS = 1 << 21
 
 # Greedy steps executed per device dispatch (one lax.scan): amortizes
@@ -425,89 +428,110 @@ def _solve_host_lazy(inst):
     (coverage only grows, need_u only shrinks), so ratios = cost/score
     are nondecreasing.  A min-heap keyed (ratio, set_id) therefore
     reproduces the full per-iteration argmin exactly — including the
-    lowest-set-id tie-break — provided a set is only *picked* when its
-    entry was recomputed in the current iteration: any stale entry
-    ordered below it pops first, gets refreshed, and re-enters the
-    heap, so the first current-epoch pop is the true (ratio, id)
-    minimum over fresh scores.
+    lowest-set-id tie-break — because a set is only picked when either
+    (a) its entry was recomputed in the current iteration, or (b) its
+    recomputed ratio equals its stale key (then every other stale key
+    is >= it and true ratios are >= their stale keys, so it is a true
+    minimum; a lower-id true minimum would have popped first).
 
-    Cost per pick is O(intervals of the few sets whose stale ratios
-    tie the front of the heap) instead of O(total intervals): ~1000x
-    fewer touched elements than _solve_host on probe-design instances
-    (measured 404 ms/pick device / 240 ms/pick host-full vs
-    ~1 ms/pick lazy on the ebola175 bench instance).  This replaces
-    the reference's memoized-intersection + last-min-ratio machinery
-    (/root/reference/catch/utils/set_cover.py:268-284, :436-481) with
-    the classic lazy evaluation argument, made exact for ties.
+    The state is incremental: rem[pair] = number of still-uncovered
+    positions of that (set, universe) pair, maintained exactly via
+    interval algebra.  A refresh is then O(pairs of the set) and a
+    pick-apply is O(intervals overlapping the newly covered region),
+    instead of the O(total axis length) per refresh that position
+    bitmaps force.  Measured on the ebola175 bench instance (3.2M
+    intervals, 3.3M positions, 159 picks): ~400 ms/pick for the
+    batched-step device solver, ~240 ms/pick for the full-rescan host
+    mirror, ~2 ms/pick here.  This replaces the reference's memoized
+    intersection + last-min-ratio machinery
+    (/root/reference/catch/utils/set_cover.py:268-284, :436-481).
     """
     import heapq
 
     U = inst.u_len
     S = inst.n_sets
     nU = inst.n_universes
-    starts = inst.ivl_start.astype(np.int64)
-    ends = inst.ivl_end.astype(np.int64)
-    pair_of_ivl = inst.pair_of_ivl.astype(np.int64)
-    set_of_pair = inst.set_of_pair.astype(np.int64)
-    univ_of_pair = inst.univ_of_pair.astype(np.int64)
+    starts = inst.ivl_start.astype(np.int64, copy=False)
+    ends = inst.ivl_end.astype(np.int64, copy=False)
+    pair_of_ivl = inst.pair_of_ivl
+    set_of_pair = inst.set_of_pair
+    univ_of_pair = inst.univ_of_pair
     nP = len(set_of_pair)
-    cost32 = inst.cost.astype(np.float32)
+    cost32 = inst.cost.astype(np.float32, copy=False)
     rank_idx = inst.rank_idx
-    can_uncover = inst.can_uncover.astype(np.int64)
+    can_uncover = inst.can_uncover.astype(np.int64, copy=False)
 
     # Intervals are grouped by ascending pair id and pairs by ascending
     # set id (build_instance* emit them sorted); derive contiguous
     # slices so one set's intervals/pairs are a single slice each.
-    if nP and not (np.all(np.diff(pair_of_ivl) >= 0)
-                   and np.all(np.diff(set_of_pair) >= 0)):
+    if nP and not (np.all(pair_of_ivl[1:] >= pair_of_ivl[:-1])
+                   and np.all(set_of_pair[1:] >= set_of_pair[:-1])):
         order = np.argsort(pair_of_ivl, kind="stable")
         starts, ends, pair_of_ivl = (starts[order], ends[order],
                                      pair_of_ivl[order])
-    pair_ptr = np.searchsorted(pair_of_ivl, np.arange(nP + 1))
-    set_ptr = np.searchsorted(set_of_pair, np.arange(S + 1))
+    pair_ptr = np.zeros(nP + 1, dtype=np.int64)
+    np.cumsum(np.bincount(pair_of_ivl, minlength=nP), out=pair_ptr[1:])
+    set_ptr = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(np.bincount(set_of_pair, minlength=S), out=set_ptr[1:])
 
-    uncov = _union_indicator(starts, ends, U).astype(np.int64)
-    covered_cnt_prefix = None  # rebuilt lazily below
+    # A second view of the intervals sorted by start, for "which
+    # intervals overlap this region" queries during pick-apply.
+    by_start = np.argsort(starts, kind="stable")
+    s_sorted = starts[by_start]
+    e_sorted = ends[by_start]
+    pair_sorted = pair_of_ivl[by_start]
+    max_ivl_len = int((ends - starts).max()) if len(starts) else 0
+
+    # rem[pair] = uncovered positions of the pair.  Initially the full
+    # pair area: covered0 is the complement of the union of all
+    # intervals, and every pair interval lies inside the union.
+    rem = np.bincount(pair_of_ivl, weights=ends - starts,
+                      minlength=nP).astype(np.int64)
     len_u = inst.u_size.astype(np.int64).copy()
     in_cover = np.zeros(S, dtype=bool)
-
     need_u = np.maximum(len_u - can_uncover, 0)
 
     def fresh_score(s):
-        """(capped score, per-pair uncapped counts, pair slice)."""
         p0, p1 = set_ptr[s], set_ptr[s + 1]
+        capped = np.minimum(rem[p0:p1], need_u[univ_of_pair[p0:p1]])
+        return int(capped.sum()), (p0, p1)
+
+    # Covered region as merged sorted interval arrays (grows over time)
+    cov_s = np.empty(0, dtype=np.int64)
+    cov_e = np.empty(0, dtype=np.int64)
+
+    def apply_pick(p0, p1):
+        """Zero the chosen set's uncovered positions: update rem for
+        every interval overlapping the newly covered region, decrement
+        len_u, and grow the covered list."""
+        nonlocal cov_s, cov_e, len_u
         i0, i1 = pair_ptr[p0], pair_ptr[p1]
-        if i0 == i1:
-            return 0, None, (p0, p1)
-        st = starts[i0:i1]
-        en = ends[i0:i1]
-        # Sum of uncovered over each [st, en): one reduceat over the
-        # interleaved boundaries of this set's intervals only.
-        bounds = np.empty(2 * (i1 - i0), dtype=np.int64)
-        bounds[0::2] = st
-        bounds[1::2] = en
-        # reduceat treats index pairs (b[2k], b[2k+1]); indices must be
-        # < len(arr); guard en == U by padding uncov with one zero.
-        cnt = np.add.reduceat(uncov_pad, bounds)[0::2]
-        cnt[st == en] = 0
-        local_pair = pair_of_ivl[i0:i1] - p0
-        pair_new = np.bincount(local_pair, weights=cnt,
-                               minlength=p1 - p0).astype(np.int64)
-        capped = np.minimum(pair_new, need_u[univ_of_pair[p0:p1]])
-        return int(capped.sum()), pair_new, (p0, p1)
+        ch_s = starts[i0:i1]
+        ch_e = ends[i0:i1]
+        # dec per universe = the chosen's current rem per pair
+        np.subtract.at(len_u, univ_of_pair[p0:p1], rem[p0:p1])
+        # Z = chosen intervals minus already-covered (disjoint pieces)
+        z_s, z_e = _interval_difference(ch_s, ch_e, cov_s, cov_e)
+        if len(z_s):
+            # Intervals possibly overlapping any Z piece: by-start rank
+            # window [searchsorted(a - max_len), searchsorted(b))
+            lo = np.searchsorted(s_sorted, z_s - max_ivl_len)
+            hi = np.searchsorted(s_sorted, z_e)
+            for zi in range(len(z_s)):
+                a, b = z_s[zi], z_e[zi]
+                sl = slice(lo[zi], hi[zi])
+                ov = (np.minimum(e_sorted[sl], b)
+                      - np.maximum(s_sorted[sl], a))
+                m = ov > 0
+                if np.any(m):
+                    np.subtract.at(rem, pair_sorted[sl][m], ov[m])
+            # Merge Z into the covered list
+            cov_s, cov_e = _merge_sorted_intervals(cov_s, cov_e, z_s, z_e)
 
-    uncov_pad = np.concatenate([uncov, np.zeros(1, dtype=np.int64)])
-
-    # Initial scores for every set, vectorized (one full pass — the
-    # same math as one _solve_host iteration).
-    prefix = np.zeros(U + 1, dtype=np.int64)
-    np.cumsum(uncov, out=prefix[1:])
-    new_ivl = prefix[ends] - prefix[starts]
-    pair_new0 = np.bincount(pair_of_ivl, weights=new_ivl,
-                            minlength=nP).astype(np.int64)
-    pair_capped0 = np.minimum(pair_new0, need_u[univ_of_pair])
-    score0 = np.bincount(set_of_pair, weights=pair_capped0,
-                         minlength=S).astype(np.int64)
+    # Initial scores, vectorized
+    score0 = np.bincount(
+        set_of_pair, weights=np.minimum(rem, need_u[univ_of_pair]),
+        minlength=S).astype(np.int64)
 
     heaps = [[] for _ in range(inst.n_rank_vals)]
     for s in range(S):
@@ -521,9 +545,8 @@ def _solve_host_lazy(inst):
     cur_rank = 0
     epoch = 0
     while np.any(need_u > 0):
-        # Pop until an entry recomputed this epoch surfaces.
+        # Pop until a provably fresh minimum surfaces.
         chosen = None
-        chosen_pair_new = None
         chosen_slice = None
         while cur_rank < inst.n_rank_vals:
             h = heaps[cur_rank]
@@ -532,31 +555,22 @@ def _solve_host_lazy(inst):
                 continue
             ratio, s, e = heapq.heappop(h)
             if e == epoch:
-                # Fresh minimum: by submodularity every other fresh
-                # ratio is >= its heap entry >= (ratio, s).
                 chosen = s
+                chosen_slice = (set_ptr[s], set_ptr[s + 1])
                 break
-            sc_val, pair_new, sl = fresh_score(s)
+            sc_val, sl = fresh_score(s)
             if sc_val > 0:
-                r = np.float32(cost32[s]) / np.float32(sc_val)
-                heapq.heappush(h, (float(r), s, epoch))
-                _fresh_cache[s] = (pair_new, sl)
+                r = float(np.float32(cost32[s]) / np.float32(sc_val))
+                if r == ratio:
+                    chosen = s
+                    chosen_slice = sl
+                    break
+                heapq.heappush(h, (r, s, epoch))
             # score 0: drop permanently (scores never grow)
         if chosen is None:
             break
-        if chosen in _fresh_cache:
-            chosen_pair_new, chosen_slice = _fresh_cache[chosen]
-        else:
-            _, chosen_pair_new, chosen_slice = fresh_score(chosen)
-        _fresh_cache.clear()
 
-        # Apply the pick (mirrors _solve_host's update)
-        p0, p1 = chosen_slice
-        i0, i1 = pair_ptr[p0], pair_ptr[p1]
-        for a, b in zip(starts[i0:i1], ends[i0:i1]):
-            uncov_pad[a:b] = 0
-        if chosen_pair_new is not None:
-            np.subtract.at(len_u, univ_of_pair[p0:p1], chosen_pair_new)
+        apply_pick(*chosen_slice)
         need_u = np.maximum(len_u - can_uncover, 0)
         in_cover[chosen] = True
         order.append(chosen)
@@ -564,7 +578,49 @@ def _solve_host_lazy(inst):
     return np.array(order, dtype=np.int32)
 
 
-_fresh_cache = {}
+def _interval_difference(a_s, a_e, b_s, b_e):
+    """Pieces of the sorted disjoint intervals (a_s, a_e) not covered by
+    the sorted disjoint merged intervals (b_s, b_e)."""
+    if len(b_s) == 0:
+        keep = a_e > a_s
+        return a_s[keep].copy(), a_e[keep].copy()
+    out_s, out_e = [], []
+    # For each a interval, walk the b intervals overlapping it.
+    lo = np.searchsorted(b_e, a_s, side="right")
+    for i in range(len(a_s)):
+        cur = a_s[i]
+        end = a_e[i]
+        j = lo[i]
+        while cur < end and j < len(b_s) and b_s[j] < end:
+            if b_s[j] > cur:
+                out_s.append(cur)
+                out_e.append(b_s[j])
+            cur = max(cur, b_e[j])
+            j += 1
+        if cur < end:
+            out_s.append(cur)
+            out_e.append(end)
+    return (np.array(out_s, dtype=np.int64),
+            np.array(out_e, dtype=np.int64))
+
+
+def _merge_sorted_intervals(a_s, a_e, b_s, b_e):
+    """Merge two sorted disjoint interval lists into one (merging
+    touching/overlapping intervals)."""
+    s = np.concatenate([a_s, b_s])
+    e = np.concatenate([a_e, b_e])
+    o = np.argsort(s, kind="stable")
+    s, e = s[o], e[o]
+    if len(s) == 0:
+        return s, e
+    run_end = np.maximum.accumulate(e)
+    new_run = np.empty(len(s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = s[1:] > run_end[:-1]
+    idx = np.flatnonzero(new_run)
+    m_s = s[idx]
+    m_e = np.maximum.reduceat(e, idx)
+    return m_s, m_e
 
 
 @functools.partial(
@@ -739,30 +795,36 @@ def solve_instance(inst, force_device=None, mesh=None):
     """Solve a canonicalized instance; returns dense set indices in pick
     order (np.int32 array).
 
-    Small instances run on the exact numpy mirror; large ones as a host
-    loop of batched device steps (identical output — parity-tested).
-    force_device=True/False overrides the size heuristic.  If `mesh`
-    is a jax.sharding.Mesh with more than one device, the solve is
-    sharded over it (catch_tpu.parallel.set_cover), again with
-    identical output.
+    Production path: tiny instances run the exact full-rescan numpy
+    mirror; everything else runs the lazy-greedy solver — identical
+    pick order (parity-tested), ~100-400x less work per pick.  Greedy
+    set cover is inherently sequential (one pick per iteration) and
+    lazy evaluation touches only the few sets whose stale ratios tie
+    the front of the heap, so this is the part of the pipeline that
+    correctly stays on the host; the device compute budget belongs to
+    the cover scan.  force_device=True routes to the batched-step
+    device solver (or, with a multi-device `mesh`, the sharded solver
+    in catch_tpu.parallel.set_cover) — same output; used by parity
+    tests, the multichip dryrun, and instances too large to rescan on
+    the host at all.
     """
     if inst.n_sets == 0 or inst.u_len == 0 or len(inst.ivl_start) == 0:
         return np.empty(0, dtype=np.int32)
     if np.all(inst.can_uncover >= inst.u_size):
         return np.empty(0, dtype=np.int32)
-    if mesh is not None and mesh.devices.size > 1:
+    if force_device and mesh is not None and mesh.devices.size > 1:
         from catch_tpu.parallel.set_cover import solve_instance_sharded
         return solve_instance_sharded(inst, mesh=mesh)
-    n_elems = inst.u_len + len(inst.ivl_start)
-    use_device = (force_device if force_device is not None
-                  else n_elems > _HOST_SOLVE_MAX_ELEMS)
-    if use_device and inst.u_len < np.iinfo(np.int32).max:
+    if force_device and inst.u_len < np.iinfo(np.int32).max:
         try:
             return _solve_device_steps(inst)
         except Exception:
             logger.exception(
                 "Device set-cover solve failed; falling back to the "
                 "host solver")
+    n_elems = inst.u_len + len(inst.ivl_start)
+    if n_elems > _HOST_SOLVE_MAX_ELEMS:
+        return _solve_host_lazy(inst)
     return _solve_host(inst)
 
 

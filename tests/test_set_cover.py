@@ -358,6 +358,50 @@ class TestRandomInstances:
             dev = sc.solve_instance(inst, force_device=True)
             assert list(host) == list(dev)
 
+    def test_lazy_parity_random(self):
+        """The lazy-greedy solver must produce a pick order bit-identical
+        to the full-rescan mirror, including rank tiers, costs, partial
+        coverage, and float32 ratio ties."""
+        rng = random.Random(11)
+        for trial in range(6):
+            sets, universe_p = self._random_instance(rng, trial % 2 == 0)
+            if not sets:
+                continue
+            ranks = {sid: rng.choice([1, 1, 1, 2, 3]) for sid in sets}
+            costs = {sid: rng.choice([1.0, 1.0, 2.0, 10.0])
+                     for sid in sets}
+            inst, _ = sc.build_instance(
+                sets, costs=costs, universe_p=universe_p, ranks=ranks)
+            full = sc._solve_host(inst)
+            lazy = sc._solve_host_lazy(inst)
+            assert list(full) == list(lazy)
+
+    def test_lazy_parity_large_instance(self):
+        """Large instance with many equal-ratio ties (the production
+        shape: unit costs, interval sets over a long position axis)."""
+        rng = np.random.default_rng(5)
+        n_sets, n_univ, span = 3000, 4, 20000
+        set_ids, univ_ids, starts, ends = [], [], [], []
+        for s in range(n_sets):
+            for u in range(n_univ):
+                if rng.random() < 0.6:
+                    k = int(rng.integers(1, 4))
+                    for _ in range(k):
+                        a = int(rng.integers(0, span - 120))
+                        ln = int(rng.integers(60, 120))
+                        set_ids.append(s)
+                        univ_ids.append(u)
+                        starts.append(a)
+                        ends.append(a + ln)
+        inst = sc.build_instance_from_cover_arrays(
+            np.array(set_ids), np.array(univ_ids), np.array(starts),
+            np.array(ends), n_sets=n_sets, n_universes=n_univ,
+            universe_p=np.full(n_univ, 0.95))
+        full = sc._solve_host(inst)
+        lazy = sc._solve_host_lazy(inst)
+        assert list(full) == list(lazy)
+        assert len(full) > 100  # nontrivial pick count
+
     def test_matches_reference_greedy(self):
         """Against a straightforward host reimplementation of the greedy
         rule (lowest-id tie-break)."""
