@@ -35,6 +35,8 @@ N_GENOMES = 175
 
 
 def main():
+    from catch_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from catch_tpu.utils import seq_io
     from catch_tpu.filters.duplicate import DuplicateFilter
     from catch_tpu.filters.set_cover_filter import SetCoverFilter

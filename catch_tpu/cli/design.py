@@ -35,6 +35,8 @@ _ARGS_TYPES = ("basic", "large")
 def main(args):
     log.configure_logging(args.log_level)
     logger = logging.getLogger(__name__)
+    from catch_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.args_type == "large":
         logger.warning(

@@ -290,9 +290,11 @@ def _device_join(searcher, pos_seq, hs):
             if n <= cap:
                 break
             cap = _next_pow2(n)
-        okn = np.asarray(ok)
-        out_p.append(np.asarray(p)[okn].astype(np.int64))
-        out_a.append(np.asarray(a)[okn].astype(np.int64))
+        # Valid pairs occupy the first n rows (nonzero emits ascending
+        # row indices before the fill), so transfer exactly n entries —
+        # device->host readback is the scan's scarcest resource.
+        out_p.append(np.asarray(p[:n]).astype(np.int64))
+        out_a.append(np.asarray(a[:n]).astype(np.int64))
     p = np.concatenate(out_p)
     a = np.concatenate(out_a)
     if len(bounds) > 2:
@@ -463,25 +465,38 @@ def scan_corpus_sparse(searcher, sequences):
               for c0 in range(0, len(p), C)]
     with maybe_trace("cover_scan_verify"):
         pending = [dispatch(sl, cap0) for sl in slices]
-    out_p, out_s, out_e = [], [], []
+    # Valid spans occupy a contiguous prefix of each (per-device) span
+    # buffer, so slice on device and issue ONE readback per output
+    # array at exactly the qualifying-span size — device->host
+    # transfers are the scan's scarcest resource under a tunneled
+    # runtime and are PCIe traffic even on directly-attached chips.
+    dev_p, dev_s, dev_e = [], [], []
     for sl, (sp_p, sp_s, sp_e, ok, nq) in zip(slices, pending):
-        n_q = int(np.max(np.asarray(nq)))
+        nq_arr = np.asarray(nq).reshape(-1)
         cap = cap0
-        while n_q > cap:  # rare overflow: retry this chunk, bigger cap
-            cap = _next_pow2(n_q)
+        while int(nq_arr.max()) > cap:  # rare overflow: retry, bigger cap
+            cap = _next_pow2(int(nq_arr.max()))
             sp_p, sp_s, sp_e, ok, nq = dispatch(sl, cap)
-            n_q = int(np.max(np.asarray(nq)))
-        if n_q == 0:
+            nq_arr = np.asarray(nq).reshape(-1)
+        if int(nq_arr.max()) == 0:
             continue
-        okn = np.asarray(ok).reshape(-1)
-        out_p.append(np.asarray(sp_p).reshape(-1)[okn].astype(np.int64))
-        out_s.append(np.asarray(sp_s).reshape(-1)[okn].astype(np.int64))
-        out_e.append(np.asarray(sp_e).reshape(-1)[okn].astype(np.int64))
-    if not out_p:
+        if sp_p.ndim == 1:
+            n_q = int(nq_arr[0])
+            dev_p.append(sp_p[:n_q])
+            dev_s.append(sp_s[:n_q])
+            dev_e.append(sp_e[:n_q])
+        else:
+            for d in range(sp_p.shape[0]):
+                n_d = int(nq_arr[d])
+                if n_d:
+                    dev_p.append(sp_p[d, :n_d])
+                    dev_s.append(sp_s[d, :n_d])
+                    dev_e.append(sp_e[d, :n_d])
+    if not dev_p:
         return empty
-    sp_p = np.concatenate(out_p)
-    sp_s = np.concatenate(out_s)
-    sp_e = np.concatenate(out_e)
+    sp_p = np.asarray(jnp.concatenate(dev_p)).astype(np.int64)
+    sp_s = np.asarray(jnp.concatenate(dev_s)).astype(np.int64)
+    sp_e = np.asarray(jnp.concatenate(dev_e)).astype(np.int64)
     sidx = np.searchsorted(ends, sp_s, side="right")
     sidx = np.minimum(sidx, n_seqs - 1)
     return (sp_p, sidx.astype(np.int64),

@@ -19,6 +19,34 @@ logger = logging.getLogger(__name__)
 _captured = set()
 
 
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache for this process.
+
+    XLA compiles of the scan/solve kernels cost tens of seconds on a
+    TPU backend; the shapes are deterministic per workload, so a
+    disk-backed cache makes every run after the first start hot.
+    Called by the CLI entry points and bench.py (not at library import,
+    which must stay side-effect free).  Opt out with
+    CATCH_TPU_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("CATCH_TPU_NO_COMPILE_CACHE"):
+        return
+    if path is None:
+        path = os.environ.get(
+            "CATCH_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "catch_tpu_xla"))
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        logger.exception("Could not enable the persistent compilation "
+                         "cache; continuing without it")
+
+
 @contextlib.contextmanager
 def maybe_trace(region):
     """Trace the wrapped block with jax.profiler on first execution.
