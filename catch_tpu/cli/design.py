@@ -37,6 +37,8 @@ def main(args):
     logger = logging.getLogger(__name__)
     from catch_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
+    from catch_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
 
     if args.args_type == "large":
         logger.warning(
@@ -267,6 +269,30 @@ def main(args):
     else:
         filters.append(DuplicateFilter())
 
+    # Device mesh: shard the cover scan and the greedy solve across
+    # accelerators when more than one is visible — the analogue of the
+    # reference's --max-num-processes pool knob
+    # (/root/reference/bin/design.py:912-922).  With
+    # jax.distributed initialized (see catch_tpu.parallel.distributed)
+    # the mesh spans every process's devices.
+    mesh = None
+    try:
+        import jax
+        from catch_tpu.parallel import make_mesh
+        n_dev = jax.device_count()
+        limit = args.num_devices if args.num_devices else n_dev
+        if args.max_num_processes is not None:
+            limit = min(limit, args.max_num_processes)
+        n_use = min(n_dev, limit)
+        if n_use > 1:
+            mesh = make_mesh(n_use)
+            logger.info("Sharding the scan and solve across %d devices",
+                        n_use)
+    except Exception:
+        logger.exception("Could not construct a device mesh; running "
+                         "single-device")
+        mesh = None
+
     scf = SetCoverFilter(
         mismatches=args.mismatches, lcf_thres=args.lcf_thres,
         island_of_exact_match=args.island_of_exact_match,
@@ -279,7 +305,8 @@ def main(args):
         coverage=args.coverage, cover_extension=args.cover_extension,
         kmer_probe_map_k=kmer_probe_map_k_scf,
         kmer_probe_map_use_native_dict=(
-            args.use_native_dict_when_finding_tolerant_coverage))
+            args.use_native_dict_when_finding_tolerant_coverage),
+        mesh=mesh)
     filters.append(scf)
 
     if args.add_adapters:
@@ -549,9 +576,15 @@ def init_and_parse_args(args_type, argv=None):
 
     parser.add_argument("--max-num-processes",
         type=check_max_num_processes,
-        help=("(Optional) Accepted for compatibility with the reference "
-              "CLI; parallelism here comes from the accelerator, not "
-              "process pools"))
+        help=("(Optional) Cap on the number of accelerator devices the "
+              "scan and solve shard across (kept for compatibility "
+              "with the reference CLI, whose pools it capped; "
+              "parallelism here comes from the device mesh)"))
+    parser.add_argument("--num-devices", type=int,
+        help=("(Optional) Number of accelerator devices to shard "
+              "across (default: all visible devices; across all hosts "
+              "when jax.distributed is initialized — see "
+              "catch_tpu.parallel.distributed)"))
     parser.add_argument("--kmer-probe-map-k", type=int,
         help=("(Optional) Seed k-mer length for mapping candidate "
               "probes to target sequences (pigeonhole when possible, "

@@ -100,14 +100,9 @@ class SetCoverFilter(BaseFilter):
 
     # ------------------------------------------------------------------
 
-    def _make_cover_arrays(self, candidate_probes, target_genomes):
-        """Cover spans of every candidate in every target genome.
-
-        Returns flat arrays (set_ids, univ_ids, starts, ends) with
-        cover extension applied and clamped per chromosome, and
-        coordinates offset into genome-global positions
-        (reference set_cover_filter.py:414-470).
-        """
+    def _prepare_scan(self, candidate_probes, target_genomes):
+        """Searcher + flattened corpus bookkeeping shared by the host
+        and device instance paths."""
         searcher = ProbeSearcher(candidate_probes, self.model,
                                  kmer_probe_map_k=self.kmer_probe_map_k,
                                  mesh=self.mesh)
@@ -136,6 +131,20 @@ class SetCoverFilter(BaseFilter):
         seq_univ = np.array(seq_univ, dtype=np.int64)
         seq_off = np.array(seq_off, dtype=np.int64)
         seq_len = np.array(seq_len, dtype=np.int64)
+        return searcher, pid_of, sequences, seq_univ, seq_off, seq_len
+
+    def _make_cover_arrays(self, candidate_probes, target_genomes,
+                           prepared=None):
+        """Cover spans of every candidate in every target genome.
+
+        Returns flat arrays (set_ids, univ_ids, starts, ends) with
+        cover extension applied and clamped per chromosome, and
+        coordinates offset into genome-global positions
+        (reference set_cover_filter.py:414-470).
+        """
+        searcher, pid_of, sequences, seq_univ, seq_off, seq_len = (
+            prepared if prepared is not None
+            else self._prepare_scan(candidate_probes, target_genomes))
         logger.info("Computing coverage across %d target genomes "
                     "(%d sequences)", len(target_genomes), len(sequences))
 
@@ -150,72 +159,101 @@ class SetCoverFilter(BaseFilter):
         return (pid_of[p_idx], seq_univ[s_idx],
                 st + seq_off[s_idx], en + seq_off[s_idx])
 
-    def _tolerant_bp_covered(self, searcher, sequence, rc_too=True):
-        """Per-probe bp covered in sequence (and its reverse complement)
-        under the tolerant model (reference :473-530)."""
-        num_bp = {}
-        strands = [sequence]
+    def _tolerant_bp_batched(self, searcher, sequences, rc_too=True):
+        """Per-searcher-probe bp covered across `sequences` (and their
+        reverse complements) under the tolerant model, via ONE batched
+        corpus scan instead of a per-sequence/per-strand loop
+        (reference :473-530 runs a process pool per sequence here).
+
+        Merging is per (probe, strand-sequence) — identical semantics
+        to summing find_probe_covers' merged ranges per strand.
+        Returns int64[len(searcher.probes)] of total covered bp.
+        """
+        strands = list(sequences)
         if rc_too:
-            strands.append(_reverse_complement(sequence))
-        for s in strands:
-            covers = searcher.find_probe_covers(s)
-            for p, cover_ranges in covers.items():
-                tot = sum(e - a for (a, e) in cover_ranges)
-                num_bp[p] = num_bp.get(p, 0) + tot
-        return num_bp
+            strands += [_reverse_complement(s) for s in sequences]
+        bp = np.zeros(len(searcher.probes), dtype=np.int64)
+        if not strands:
+            return bp
+        p_idx, s_idx, st, en = searcher.find_probe_covers_flat(strands)
+        if len(p_idx) == 0:
+            return bp
+        group = p_idx * np.int64(len(strands)) + s_idx
+        gk, gs, ge = set_cover._merge_by_group(group, st, en)
+        np.add.at(bp, (gk // len(strands)).astype(np.int64), ge - gs)
+        return bp
+
+    # Avoided-genome sequences are scanned in batches of about this
+    # many bases so human-scale backgrounds stream through the batched
+    # scan without materializing the whole FASTA.
+    _AVOID_BATCH_BP = 1 << 26
 
     def _make_ranks(self, candidate_probes, target_genomes_grouped):
         """Integer rank per set id (reference :614-735): tuples
-        (0, groupings_hit or 0) / (1, avoided_bp), densified."""
+        (0, groupings_hit or 0) / (1, avoided_bp), densified.
+
+        All scans run through the batched corpus path: one scan per
+        grouping (both strands at once) for identification, and one
+        scan per ~64 Mbp batch of avoided sequence.
+        """
         need_searcher = self.identify or len(self.avoided_genomes) > 0
         searcher = None
+        pid_of = None
         if need_searcher:
             searcher = ProbeSearcher(
                 candidate_probes, self.tolerant_model,
                 kmer_probe_map_k=self.kmer_probe_map_k, mesh=self.mesh)
+            probe_row = {p: i for i, p in enumerate(searcher.probes)}
+            pid_of = np.array(
+                [probe_row[p] for p in candidate_probes], dtype=np.int64)
 
+        n_cand = len(candidate_probes)
         if self.identify:
-            num_groupings_hit = {p: 0 for p in candidate_probes}
+            hits = np.zeros(n_cand, dtype=np.int64)
             for i, genomes_from_group in enumerate(target_genomes_grouped):
                 logger.info(
                     "Computing coverage in grouping %d (of %d) to count "
                     "number of groupings hit", i + 1,
                     len(target_genomes_grouped))
-                bp_in_grouping = {}
-                for gnm in genomes_from_group:
-                    for sequence in gnm.seqs:
-                        for p, bp in self._tolerant_bp_covered(
-                                searcher, sequence).items():
-                            bp_in_grouping[p] = bp_in_grouping.get(p, 0) + bp
-                for p, bp in bp_in_grouping.items():
-                    if bp >= 1:
-                        num_groupings_hit[p] += 1
-            for p, hit in num_groupings_hit.items():
-                if hit == 0:
-                    logger.critical(
-                        "There is a probe that does not 'hit' any target "
-                        "genome grouping, but every candidate probe "
-                        "should hit at least one")
-            rank_val = {p: (0, hit) for p, hit in num_groupings_hit.items()}
+                seqs = [s for gnm in genomes_from_group for s in gnm.seqs]
+                bp = self._tolerant_bp_batched(searcher, seqs)
+                hits += (bp[pid_of] >= 1)
+            if np.any(hits == 0):
+                logger.critical(
+                    "There is a probe that does not 'hit' any target "
+                    "genome grouping, but every candidate probe "
+                    "should hit at least one")
+            rank_val = [(0, int(h)) for h in hits]
         else:
-            rank_val = {p: (0, 0) for p in candidate_probes}
+            rank_val = [(0, 0)] * n_cand
 
-        total_avoided_bp = {p: 0 for p in candidate_probes}
-        for fasta_path in self.avoided_genomes:
-            for sequence in seq_io.iterate_fasta(fasta_path):
-                logger.info("Computing coverage across an avoided sequence")
-                for p, bp in self._tolerant_bp_covered(
-                        searcher, sequence).items():
-                    total_avoided_bp[p] += bp
-        for p, bp in total_avoided_bp.items():
-            if bp > 0:
-                rank_val[p] = (1, bp)
+        if self.avoided_genomes:
+            avoided_bp = np.zeros(n_cand, dtype=np.int64)
+            for fasta_path in self.avoided_genomes:
+                batch, batch_bp = [], 0
+                for sequence in seq_io.iterate_fasta(fasta_path):
+                    batch.append(sequence)
+                    batch_bp += len(sequence)
+                    if batch_bp >= self._AVOID_BATCH_BP:
+                        logger.info("Computing coverage across an "
+                                    "avoided-sequence batch (%d bp)",
+                                    batch_bp)
+                        avoided_bp += self._tolerant_bp_batched(
+                            searcher, batch)[pid_of]
+                        batch, batch_bp = [], 0
+                if batch:
+                    logger.info("Computing coverage across an "
+                                "avoided-sequence batch (%d bp)", batch_bp)
+                    avoided_bp += self._tolerant_bp_batched(
+                        searcher, batch)[pid_of]
+            for i in range(n_cand):
+                if avoided_bp[i] > 0:
+                    rank_val[i] = (1, int(avoided_bp[i]))
 
-        all_rank_tuples = sorted(set(rank_val.values()))
+        all_rank_tuples = sorted(set(rank_val))
         tuple_rank_idx = {t: i for i, t in enumerate(all_rank_tuples)}
-        return np.array(
-            [tuple_rank_idx[rank_val[p]] for p in candidate_probes],
-            dtype=np.int64)
+        return np.array([tuple_rank_idx[t] for t in rank_val],
+                        dtype=np.int64)
 
     def _make_universe_p(self, target_genomes):
         """Required coverage per universe (reference :761-792)."""
@@ -229,6 +267,61 @@ class SetCoverFilter(BaseFilter):
         return p
 
     # ------------------------------------------------------------------
+
+    def _solve_group_device(self, prepared, target_genomes, ranks,
+                            universe_p, stats):
+        """The fully device-resident scan -> instance -> solve path
+        (ops/scan_instance + ops/set_cover.solve_boundary_instance):
+        the corpus, candidate pairs, cover spans, and coverage state
+        never leave the device; the host reads back per-dispatch
+        scalars and the final pick list.  Returns chosen candidate ids
+        (np array) or None to fall back to the host instance path.
+        """
+        import os
+        import time as _time
+        searcher, pid_of, sequences, seq_univ, seq_off, seq_len = prepared
+        if searcher.empty or self.model.custom_fn is not None \
+                or searcher.K_static is None:
+            return None
+        mode = os.environ.get("CATCH_TPU_INSTANCE")
+        if mode == "host":
+            return None
+        total_bp = int(np.sum(seq_len)) if len(seq_len) else 0
+        multi = self.mesh is not None and self.mesh.devices.size > 1
+        if multi:
+            return None
+        if mode != "force" and total_bp < searcher._BATCH_MIN_BP:
+            return None
+        from catch_tpu.ops import scan_instance
+
+        rank_vals = np.unique(ranks)
+        rank_idx = np.searchsorted(rank_vals, ranks).astype(np.int32)
+        costs = np.ones(len(rank_idx), dtype=np.float32)
+        t0 = _time.time()
+        try:
+            r = scan_instance.scan_to_boundary_instance(
+                searcher, sequences, seq_univ, seq_off, seq_len,
+                len(target_genomes), self.cover_extension, universe_p,
+                rank_idx, len(rank_vals), costs, pid_of)
+        except Exception:
+            logger.exception("Device instance pipeline failed; falling "
+                             "back to the host path")
+            return None
+        stats["scan_seconds"] += _time.time() - t0
+        if r is None:
+            return None
+        dev, perm = r
+        t0 = _time.time()
+        try:
+            order = set_cover.solve_boundary_instance(dev, len(perm))
+        except Exception:
+            logger.exception("Boundary device solve failed; falling "
+                             "back to the host path")
+            return None
+        stats["solve_seconds"] += _time.time() - t0
+        stats["set_cover_picks"] += len(order)
+        return pid_of[perm[order]] if len(order) else \
+            np.empty(0, dtype=np.int64)
 
     def _filter(self, input, target_genomes_grouped):
         """Per-group set-cover selection; input is grouped probes."""
@@ -245,26 +338,30 @@ class SetCoverFilter(BaseFilter):
             if len(possible_probes) == 0:
                 selected_probes.append([])
                 continue
-            t0 = _time.time()
-            set_ids, univ_ids, starts, ends = self._make_cover_arrays(
-                possible_probes, target_genomes)
-            stats["scan_seconds"] += _time.time() - t0
-            stats["candidates_evaluated"] += \
-                self._last_searcher.stats["candidates"]
+            prepared = self._prepare_scan(possible_probes, target_genomes)
             ranks = self._make_ranks(possible_probes,
                                      target_genomes_grouped)
             universe_p = self._make_universe_p(target_genomes)
-            inst = set_cover.build_instance_from_cover_arrays(
-                set_ids, univ_ids, starts, ends,
-                n_sets=len(possible_probes),
-                n_universes=len(target_genomes),
-                universe_p=universe_p, ranks=ranks)
-            logger.info("Solving set cover instance (group %d of %d)",
-                        group_i + 1, len(input))
-            t0 = _time.time()
-            chosen = set_cover.solve_instance(inst, mesh=self.mesh)
-            stats["solve_seconds"] += _time.time() - t0
-            stats["set_cover_picks"] += len(chosen)
+            chosen = self._solve_group_device(
+                prepared, target_genomes, ranks, universe_p, stats)
+            if chosen is None:
+                t0 = _time.time()
+                set_ids, univ_ids, starts, ends = self._make_cover_arrays(
+                    possible_probes, target_genomes, prepared=prepared)
+                stats["scan_seconds"] += _time.time() - t0
+                inst = set_cover.build_instance_from_cover_arrays(
+                    set_ids, univ_ids, starts, ends,
+                    n_sets=len(possible_probes),
+                    n_universes=len(target_genomes),
+                    universe_p=universe_p, ranks=ranks)
+                logger.info("Solving set cover instance (group %d of %d)",
+                            group_i + 1, len(input))
+                t0 = _time.time()
+                chosen = set_cover.solve_instance(inst, mesh=self.mesh)
+                stats["solve_seconds"] += _time.time() - t0
+                stats["set_cover_picks"] += len(chosen)
+            stats["candidates_evaluated"] += \
+                self._last_searcher.stats["candidates"]
             n_min_rank = int(np.sum(ranks[chosen] > ranks.min())) \
                 if len(chosen) else 0
             if n_min_rank:

@@ -1,0 +1,730 @@
+"""Device-resident corpus scan -> boundary-indexed set-cover instance.
+
+The end-to-end device pipeline behind SetCoverFilter: from the encoded
+corpus to a solver-ready set-cover instance without materializing
+candidate pairs or cover spans on the host.  Replaces, for the main
+design workload, the three-trip flow of ops/scan_sparse (host join ->
+device verify -> host instance build), whose host<->device transfers
+dominate wall-clock (readback of pairs + spans is ~70 MB per design on
+the ebola175 bench vs ~privileged-scalar traffic here).
+
+Stages (all jitted, all state device-resident):
+
+  T. Probe seed table: hash every kj-mer of every probe (dense, all
+     offsets) into one sorted (hash, solver_probe_id, offset) table.
+  A. Query sampling: hash every s-th corpus position (s = the stride
+     that guarantees any >= k_seed exact run contains a sampled kj-mer
+     aligned with some probe-table entry; see below), look each hash up
+     in the table with a vectorized binary search, emit per-sample hit
+     counts.  Slabbed over the corpus at a fixed static shape.
+  B. Hit expansion: turn (bucket, count) runs into flat (probe,
+     alignment) pairs with two cumulative-sum scatters (telescoping
+     across empty buckets), sort, and deduplicate.  Slabbed by hit
+     count.
+  C. Verification: for fixed-size candidate chunks, rebuild the exact
+     match vector from the device-resident corpus + probe tensors and
+     enumerate all maximal <= K-mismatch windows containing a
+     >= seed_req exact run (identical window math to ops/scan_sparse
+     _verify_core, parity-tested), then apply cover extension, clamp to
+     the chromosome, and emit (pair_key, start, end) spans in
+     universe-local coordinates.
+  D. Merge: sort spans by (pair_key, start) and merge overlapping or
+     touching intervals per (set, universe) pair with a segmented-scan
+     running maximum; a second pass keyed by universe alone yields the
+     per-universe coverage union (universe sizes and spans).
+  E. Assembly: dense pair ids, interval/pair boundary indices, and
+     global coordinates for the boundary-sum device solver
+     (ops/set_cover.solve_boundary_instance).
+
+Host traffic: the encoded corpus + small lookup tables up; per-dispatch
+counts, the tiny per-universe union, and the final pick list down.
+
+Seeding guarantee (stride sampling).  Every qualifying cover contains a
+run of >= k_seed consecutive exact matches (the engine's exhaustive
+seed requirement, ops/cover.py module docstring).  With kj <= k_seed
+and stride s = k_seed - kj + 1, any such run contains s consecutive
+aligned kj-mer start offsets, one of which is congruent to 0 mod s and
+therefore sampled on the query side; the probe table is dense (all
+offsets), so the joined pair is always found.  Compared to the host
+path's (w, kj)-minimizers this needs no window-minima selection at all
+and samples fewer positions (1/s vs ~2/(w+1) of them), at the price of
+a denser probe table (a few MB).  Collisions of the 32-bit hash only
+add candidate pairs that verification rejects; they never change
+output.  The candidate set differs from the host join's (either is a
+superset of the true cover pairs), so verified spans -- and everything
+downstream -- are identical either way (parity-tested in
+tests/test_scan_instance.py).
+"""
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from catch_tpu.ops import encode
+from catch_tpu.utils.profiling import maybe_trace
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["scan_to_boundary_instance"]
+
+# 32-bit rolling-hash multiplier (odd; golden ratio).  Must match
+# between the probe table and the query side; nothing else depends on
+# it.
+_MULT = np.uint32(0x9E3779B1)
+_HMAX = np.uint32(0xFFFFFFFF)
+_I32MAX = np.int32(np.iinfo(np.int32).max)
+
+# Static shapes (power-of-two buckets shared across workloads).
+_SLAB_SAMPLES = 1 << 22     # query samples per stage-A dispatch
+_T_SLAB = 1 << 26           # expanded hits per stage-B dispatch
+_PAIR_CAP = 1 << 23         # deduplicated pairs per stage-B dispatch
+_C_CHUNK = 1 << 17          # candidates per stage-C dispatch
+_SPAN_CAP = 1 << 18         # span buffer per stage-C dispatch
+_BATCH_CHUNKS = 16          # stage-C buffers merged per D1 dispatch
+_UNION_CAP = 1 << 16        # per-universe union runs (readback)
+
+
+def _next_pow2(x):
+    return 1 if x <= 1 else 1 << int(x - 1).bit_length()
+
+
+# ----------------------------------------------------------------------
+# Stage T: probe seed table
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kj", "TBL"))
+def _build_table_jit(codes_perm, *, kj, TBL):
+    """Sorted (hash, probe, offset) table of every probe kj-mer.
+
+    codes_perm: (P, L) uint8 probe codes in solver order (0 = PAD).
+    Returns (tbl_h u32[TBL], tbl_p i32[TBL], tbl_pos i32[TBL]) sorted
+    by hash; unused rows carry hash sentinel HMAX (queries are clamped
+    below it and never match).
+    """
+    P, L = codes_perm.shape
+    W = L - kj + 1
+    c = codes_perm.astype(jnp.uint32)
+    h = jnp.zeros((P, W), jnp.uint32)
+    ok = jnp.ones((P, W), bool)
+    for j in range(kj):
+        cj = jax.lax.slice(c, (0, j), (P, j + W))
+        h = h * _MULT + cj
+        ok = ok & (cj > 0)
+    h = jnp.minimum(h, _HMAX - 1)
+    key = jnp.where(ok, h, _HMAX).reshape(-1)
+    p_i = jax.lax.broadcasted_iota(jnp.int32, (P, W), 0).reshape(-1)
+    pos_i = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1).reshape(-1)
+    pad = TBL - P * W
+    key = jnp.concatenate([key, jnp.full((pad,), _HMAX, jnp.uint32)])
+    p_i = jnp.concatenate([p_i, jnp.zeros((pad,), jnp.int32)])
+    pos_i = jnp.concatenate([pos_i, jnp.zeros((pad,), jnp.int32)])
+    return jax.lax.sort((key, p_i, pos_i), num_keys=1)
+
+
+# ----------------------------------------------------------------------
+# Stage A: sampled query hashes + table lookup
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kj", "s", "Q"))
+def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
+    """Hit counts for query samples g0 .. g0+Q-1 (sample g = position
+    g*s).
+
+    mega: uint8 corpus codes (0 = PAD), padded so position
+        (g0+Q-1)*s + kj - 1 is readable.
+    n_last: last valid position (inclusive) for a kj-mer start.
+    Returns (lo i32[Q], cnt i32[Q], csum i32[Q]).
+    """
+    c = jax.lax.dynamic_slice(mega, (g0 * s,), (Q * s + kj - 1,))
+    c = c.astype(jnp.uint32)
+    h = jnp.zeros((Q,), jnp.uint32)
+    ok = jnp.ones((Q,), bool)
+    for j in range(kj):
+        cj = jax.lax.slice(c, (j,), (j + Q * s, ), (s,))
+        h = h * _MULT + cj
+        ok = ok & (cj > 0)
+    h = jnp.minimum(h, _HMAX - 1)
+    g = g0 + jnp.arange(Q, dtype=jnp.int32)
+    ok = ok & (g * s <= n_last)
+    q = jnp.where(ok, h, _HMAX)
+    lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(tbl_h, q, side="right").astype(jnp.int32)
+    cnt = jnp.where(ok, hi - lo, 0)
+    return lo, cnt, jnp.cumsum(cnt)
+
+
+# ----------------------------------------------------------------------
+# Stage B: expansion + dedup + compaction
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("T", "Q", "CAP", "s"))
+def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
+    """Expand hits of samples [i0, i1) to deduplicated (probe, alignment)
+    pairs.
+
+    Pairs are emitted sorted by (probe, alignment) into CAP-sized
+    buffers (sentinel _I32MAX beyond n_pairs); n_pairs > CAP signals
+    overflow (caller retries with a bigger CAP).  Alignment a means
+    probe offset 0 sits at corpus position a (may be negative-of-offset
+    relative to a sequence start; the verify chunk clips).
+    """
+    iq = jnp.arange(Q, dtype=jnp.int32)
+    cnt_sub = jnp.where((iq >= i0) & (iq < i1), cnt, 0)
+    csum = jnp.cumsum(cnt_sub)
+    total = csum[-1]
+    pos = (g0 + iq) * s
+
+    # Expansion: table index per hit and sample position per hit via
+    # one scatter + cumsum each; boundary scatters use add, which
+    # telescopes across empty buckets (including the masked-off
+    # prefix).
+    step = jnp.ones((T,), jnp.int32)
+    step = step.at[0].set(lo[0])
+    step = step.at[csum[:-1]].add(lo[1:] - lo[:-1] - cnt_sub[:-1],
+                                  mode="drop")
+    idx = jnp.cumsum(step)
+    step2 = jnp.zeros((T,), jnp.int32)
+    step2 = step2.at[0].set(pos[0])
+    step2 = step2.at[csum[:-1]].add(pos[1:] - pos[:-1], mode="drop")
+    pos_rep = jnp.cumsum(step2)
+
+    t = jnp.arange(T, dtype=jnp.int32)
+    valid = t < total
+    idxc = jnp.clip(idx, 0, tbl_p.shape[0] - 1)
+    p = jnp.where(valid, tbl_p[idxc], _I32MAX)
+    a = jnp.where(valid, pos_rep - tbl_pos[idxc], 0)
+    p_s, a_s = jax.lax.sort((p, a), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (p_s[1:] != p_s[:-1]) | (a_s[1:] != a_s[:-1])])
+    keep = first & (p_s < _I32MAX)
+    n_pairs = jnp.sum(keep, dtype=jnp.int32)
+    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    sc = jnp.where(keep, dst, CAP)
+    out_p = jnp.full((CAP,), _I32MAX, jnp.int32).at[sc].set(
+        p_s, mode="drop")
+    out_a = jnp.zeros((CAP,), jnp.int32).at[sc].set(a_s, mode="drop")
+    return out_p, out_a, n_pairs
+
+
+# ----------------------------------------------------------------------
+# Stage C: verification -> extended universe-local spans
+# ----------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok", "nU",
+                     "ext"))
+def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
+                 seq_starts, seq_ends, seq_lens, chrom_off, univ_of_seq,
+                 k_seed, lcf, *, L, K, C, cap, seed_req, fast_ok, nU,
+                 ext):
+    """Verify candidates [off, off+C) and emit instance-ready spans.
+
+    Window math identical to ops/scan_sparse._verify_core (module
+    docstring there); here the per-candidate fields are derived on
+    device and qualifying spans leave in universe-local coordinates
+    with cover extension applied, as (pair_key = probe * nU + universe,
+    start, end) with sentinel keys beyond the qualifying count nq.
+    """
+    i = off + jnp.arange(C, dtype=jnp.int32)
+    vmask = i < n_pairs
+    ic = jnp.minimum(i, pc.shape[0] - 1)
+    pg = jnp.where(vmask, pc[ic], 0)
+    a = jnp.where(vmask, ac[ic], 0)
+
+    n_seqs = seq_ends.shape[0]
+    sid = jnp.clip(jnp.searchsorted(seq_ends, a, side="right"), 0,
+                   n_seqs - 1).astype(jnp.int32)
+    s_lo = seq_starts[sid]
+    s_hi = seq_ends[sid]
+    plen = lens_perm[pg]
+    start = jnp.maximum(s_lo, a)
+    en = jnp.minimum(s_hi, a + plen)
+    ov = jnp.maximum(en - start, 0)
+    n_seq = s_hi - s_lo
+    thres = jnp.minimum(jnp.minimum(lcf, plen), n_seq)
+    thres = jnp.where(vmask, thres, 0)
+    poff0 = start - a
+
+    jL = jnp.arange(L, dtype=jnp.int32)
+    t_cols = L + 1
+    seq_vals = mega[start[:, None] + jL[None, :]]
+    probe_vals = jnp.take_along_axis(
+        codes_perm[pg], jnp.minimum(poff0[:, None] + jL[None, :], L - 1),
+        axis=1)
+    validj = jL[None, :] < ov[:, None]
+    match = (seq_vals == probe_vals) & (seq_vals > 0) & validj
+
+    if fast_ok:
+        counts = jnp.sum(match, axis=1, dtype=jnp.int32)
+        is_fast = (n_seq >= L) | ((K == 0) & (n_seq >= k_seed))
+        need = jnp.maximum(thres - K, k_seed)
+        qual_fast = (counts >= need) & (thres > 0)
+    else:
+        is_fast = jnp.zeros((C,), bool)
+        qual_fast = jnp.zeros((C,), bool)
+
+    mism = validj & ~match
+    nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
+    rank = jnp.cumsum(mism.astype(jnp.int32), axis=1)
+    idxm = jnp.where(mism, rank, L + K + 2)
+    P = jnp.broadcast_to(ov[:, None], (C, L + K + 2)).astype(jnp.int32)
+    P = P.at[:, 0].set(-1)
+    rows2d = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
+                              (C, L))
+    P = P.at[rows2d, idxm].set(jnp.broadcast_to(jL[None, :], (C, L)),
+                               mode="drop")
+
+    lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
+    runs = P[:, 1:] - P[:, :-1] - 1
+    seedmax = runs[:, :t_cols]
+    for sft in range(1, K + 1):
+        seedmax = jnp.maximum(seedmax, runs[:, sft:sft + t_cols])
+    tq = jnp.arange(t_cols, dtype=jnp.int32)
+    qual = ((tq[None, :] <= nm[:, None]) & (lenW >= thres[:, None])
+            & (seedmax >= seed_req) & (thres[:, None] > 0))
+    if fast_ok:
+        qual = jnp.where(is_fast[:, None],
+                         (tq[None, :] == 0) & qual_fast[:, None], qual)
+
+    nq = jnp.sum(qual, dtype=jnp.int32)
+    rows, ts = jnp.nonzero(qual, size=cap, fill_value=-1)
+    okr = rows >= 0
+    rc = jnp.maximum(rows, 0)
+    tc = jnp.maximum(ts, 0)
+    if fast_ok:
+        sp_s = jnp.where(is_fast[rc], start[rc],
+                         P[rc, tc] + 1 + start[rc])
+        sp_e = jnp.where(is_fast[rc], start[rc] + ov[rc],
+                         P[rc, tc + K + 1] + start[rc])
+    else:
+        sp_s = P[rc, tc] + 1 + start[rc]
+        sp_e = P[rc, tc + K + 1] + start[rc]
+
+    # Instance coordinates: chromosome-local, extended, clamped, offset
+    # into the genome (universe), keyed by (probe, universe).
+    sidr = sid[rc]
+    ls = sp_s - seq_starts[sidr]
+    le = sp_e - seq_starts[sidr]
+    es = jnp.maximum(ls - ext, 0)
+    ee = jnp.minimum(le + ext, seq_lens[sidr])
+    us = es + chrom_off[sidr]
+    ue = ee + chrom_off[sidr]
+    key = jnp.where(okr, pg[rc] * nU + univ_of_seq[sidr], _I32MAX)
+    us = jnp.where(okr, us, 0)
+    ue = jnp.where(okr, ue, 0)
+    return key, us, ue, nq
+
+
+# ----------------------------------------------------------------------
+# Stage D: segmented merge of (key, start, end) span sets
+# ----------------------------------------------------------------------
+
+def _merge_runs(k, s, e, OUT):
+    """Sort spans by (key, start), merge overlapping/touching intervals
+    per key, compact into OUT-sized buffers.  Shared by the pair-level
+    and universe-level merges and idempotent (re-merging merged output
+    is a no-op), so batches can be merged hierarchically."""
+    k2, s2, e2 = jax.lax.sort((k, s, e), num_keys=2)
+    valid = k2 < _I32MAX
+    first = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
+
+    def comb(x, y):
+        f = x[0] | y[0]
+        m = jnp.where(y[0], y[1], jnp.maximum(x[1], y[1]))
+        return (f, m)
+
+    _, rmax = jax.lax.associative_scan(comb, (first, e2))
+    rmax_prev = jnp.concatenate([jnp.zeros((1,), e2.dtype), rmax[:-1]])
+    new_run = (first | (s2 > rmax_prev)) & valid
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    n_runs = jnp.sum(new_run, dtype=jnp.int32)
+    _, rmax2 = jax.lax.associative_scan(comb, (new_run, e2))
+    nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
+    nxt_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    is_last = valid & (nxt_new | ~nxt_valid)
+    sc_f = jnp.where(new_run, run_id, OUT)
+    sc_l = jnp.where(is_last, run_id, OUT)
+    out_k = jnp.full((OUT,), _I32MAX, jnp.int32).at[sc_f].set(
+        k2, mode="drop")
+    out_s = jnp.zeros((OUT,), jnp.int32).at[sc_f].set(s2, mode="drop")
+    out_e = jnp.zeros((OUT,), jnp.int32).at[sc_l].set(rmax2, mode="drop")
+    return out_k, out_s, out_e, n_runs
+
+
+@functools.partial(jax.jit, static_argnames=("OUT",))
+def _merge_jit(k, s, e, *, OUT):
+    return _merge_runs(k.reshape(-1), s.reshape(-1), e.reshape(-1), OUT)
+
+
+@functools.partial(jax.jit, static_argnames=("OUT", "nU"))
+def _union_jit(k, s, e, *, OUT, nU):
+    """Universe-level union of merged pair intervals (key -> universe)."""
+    ku = jnp.where(k < _I32MAX, k % nU, _I32MAX)
+    return _merge_runs(ku, s, e, OUT)
+
+
+# ----------------------------------------------------------------------
+# Stage E: instance assembly
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("OUT", "P_CAP", "S_pad", "nU",
+                                    "nU_pad"))
+def _assemble_jit(k, s, e, offsets_univ, n_merged, *, OUT, P_CAP, S_pad,
+                  nU, nU_pad):
+    """Boundary-indexed solver arrays from merged (key, start, end).
+
+    Returns (ivl_start_g, ivl_end_g, pair_bounds, set_bounds,
+    univ_of_pair, n_pairs, max_pairs_per_set, max_ivls_per_set).
+    Global coordinates = universe-local + offsets_univ[universe].
+    """
+    valid = k < _I32MAX
+    u = jnp.where(valid, k % nU, 0)
+    gs = jnp.where(valid, s + offsets_univ[u], 0)
+    ge = jnp.where(valid, e + offsets_univ[u], 0)
+
+    pairfirst = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), k[1:] != k[:-1]])
+    pair_id = jnp.cumsum(pairfirst.astype(jnp.int32)) - 1
+    n_pairs = jnp.sum(pairfirst, dtype=jnp.int32)
+    sc = jnp.where(pairfirst, pair_id, P_CAP)
+    set_of_pair = jnp.full((P_CAP,), S_pad - 1, jnp.int32).at[sc].set(
+        k // nU, mode="drop")
+    univ_of_pair = jnp.full((P_CAP,), nU_pad - 1, jnp.int32).at[sc].set(
+        u, mode="drop")
+    row_idx = jnp.arange(OUT, dtype=jnp.int32)
+    pb = jnp.zeros((P_CAP + 1,), jnp.int32).at[
+        jnp.where(pairfirst, pair_id, P_CAP + 1)].set(
+        row_idx, mode="drop")
+    pb = jnp.where(jnp.arange(P_CAP + 1) >= n_pairs, n_merged, pb)
+    set_bounds = jnp.searchsorted(
+        set_of_pair, jnp.arange(S_pad + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    mp = jnp.max(set_bounds[1:] - set_bounds[:-1])
+    ivl_of_set = pb[set_bounds[1:]] - pb[set_bounds[:-1]]
+    mi = jnp.max(ivl_of_set)
+    return (gs, ge, pb, set_bounds, univ_of_pair, n_pairs, mp, mi)
+
+
+# ----------------------------------------------------------------------
+# Driver
+# ----------------------------------------------------------------------
+
+def _join_params_stride(searcher):
+    """(kj, s): kj-mer length and query stride for the device join.
+
+    kj + s - 1 == k_seed preserves the exhaustive-seed guarantee (see
+    module docstring); kj >= 12 bounds random hash-collision rates,
+    matching the host minimizer parameters (ops/cover.py)."""
+    k = searcher.k_seed
+    kj = max(12, k - 20 + 1)
+    kj = min(kj, k)
+    return kj, k - kj + 1
+
+
+def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
+                              seq_len, n_universes, cover_extension,
+                              universe_p, rank_idx_cand, n_rank_vals,
+                              cost_cand, pid_of):
+    """Scan `sequences` and build a device set-cover instance.
+
+    Args:
+        searcher: ops.cover.ProbeSearcher (default model only)
+        sequences: list of chromosome sequences (strings), flattened
+            over genomes
+        seq_univ / chrom_off / seq_len: int arrays per sequence: owning
+            genome (universe) id, cumulative chromosome offset within
+            the genome, chromosome length
+        n_universes: number of genomes
+        cover_extension: bp extension per cover range
+        universe_p: float64[n_universes] required coverage fractions
+        rank_idx_cand: int32[n_candidates] dense rank index per
+            candidate probe
+        n_rank_vals: number of distinct rank values
+        cost_cand: float32[n_candidates]
+        pid_of: int64[P] candidate id per searcher probe (last-wins)
+
+    Returns:
+        (dev, perm) where dev is the dict consumed by
+        ops.set_cover.solve_boundary_instance and perm maps solver set
+        ids to searcher probe indices (chosen candidate ids are
+        pid_of[perm[order]]), or None when this workload cannot run on
+        the device path (custom model, or coordinates exceeding int32).
+    """
+    model = searcher.model
+    if model.custom_fn is not None or searcher.K_static is None:
+        return None
+    P = len(searcher.probes)
+    nU = int(n_universes)
+    if P == 0 or nU == 0 or not sequences:
+        return None
+    if P * nU >= np.iinfo(np.int32).max:
+        return None
+    L = searcher.Lmax
+    K = int(searcher.K_static)
+    k_seed = int(searcher.k_seed)
+    island = model.island_of_exact_match
+    seed_req = max(k_seed, island) if island > 0 else k_seed
+    kj, s = _join_params_stride(searcher)
+
+    # Mega corpus array: [L pad][seq0][L pad][seq1]...[tail pad].  The
+    # tail covers both stage A's strided reads and stage C's L-window
+    # gathers.
+    n_seqs = len(sequences)
+    seq_lens = np.asarray([len(x) for x in sequences], dtype=np.int64)
+    starts = np.empty(n_seqs, dtype=np.int64)
+    pos = L
+    for i, ln in enumerate(seq_lens):
+        starts[i] = pos
+        pos += int(ln) + L
+    total = pos
+    n_samples = (total + s - 1) // s
+    slab_q = _SLAB_SAMPLES
+    n_slabs = max(1, -(-n_samples // slab_q))
+    tail = max(L, slab_q * s * n_slabs + kj - total) + 8
+    if total + tail > np.iinfo(np.int32).max:
+        return None
+    mega = np.zeros(total + tail, dtype=np.uint8)
+    for i, x in enumerate(sequences):
+        mega[starts[i]:starts[i] + seq_lens[i]] = searcher.alphabet.encode(
+            encode.encode_bytes(x))
+    ends = starts + seq_lens
+
+    perm = np.argsort(pid_of, kind="stable")
+    codes_perm = np.ascontiguousarray(searcher.probe_codes[perm])
+    lens_perm = np.ascontiguousarray(
+        searcher.probe_lens[perm].astype(np.int32))
+
+    mega_dev = jnp.asarray(mega)
+    codes_dev = jnp.asarray(codes_perm)
+    lens_dev = jnp.asarray(lens_perm)
+    seq_starts_dev = jnp.asarray(starts.astype(np.int32))
+    seq_ends_dev = jnp.asarray(ends.astype(np.int32))
+    seq_lens_dev = jnp.asarray(seq_lens.astype(np.int32))
+    chrom_off_dev = jnp.asarray(np.asarray(chrom_off, dtype=np.int32))
+    univ_of_seq_dev = jnp.asarray(np.asarray(seq_univ, dtype=np.int32))
+
+    with maybe_trace("scan_instance"):
+        return _run_pipeline(
+            searcher, mega_dev, codes_dev, lens_dev, seq_starts_dev,
+            seq_ends_dev, seq_lens_dev, chrom_off_dev, univ_of_seq_dev,
+            perm, pid_of, total, n_samples, kj, s, L, K, k_seed,
+            seed_req, nU, cover_extension, universe_p, rank_idx_cand,
+            n_rank_vals, cost_cand)
+
+
+def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
+                  seq_starts_dev, seq_ends_dev, seq_lens_dev,
+                  chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
+                  n_samples, kj, s, L, K, k_seed, seed_req, nU,
+                  cover_extension, universe_p, rank_idx_cand,
+                  n_rank_vals, cost_cand):
+    P = len(searcher.probes)
+    # Stage T
+    W_probe = max(L - kj + 1, 1)
+    TBL = _next_pow2(P * W_probe)
+    tbl_h, tbl_p, tbl_pos = _build_table_jit(codes_dev, kj=kj, TBL=TBL)
+    # tbl_p holds row indices into codes_dev, which is already in
+    # solver (pid-sorted) order, so pair keys sort by candidate id.
+
+    # Stage A over sample slabs
+    n_last = total - kj  # last valid kj-mer start position
+    slab_q = _SLAB_SAMPLES
+    slabs = []
+    for g0 in range(0, n_samples, slab_q):
+        lo, cnt, csum = _stage_a_jit(
+            mega_dev, jnp.int32(g0), jnp.int32(n_last), tbl_h,
+            kj=kj, s=s, Q=slab_q)
+        slabs.append((g0, lo, cnt, csum))
+
+    # Stage B: expansion subranges with <= _T_SLAB hits each
+    pair_bufs = []   # (p_c, a_c, n) device buffers + host count
+    n_candidates = 0
+    for g0, lo, cnt, csum in slabs:
+        slab_total = int(csum[-1])
+        if slab_total < 0:
+            logger.warning("Join hit count overflowed int32; falling "
+                           "back to the host scan path")
+            return None
+        if slab_total == 0:
+            continue
+        # Split the sample range so each piece expands <= _T_SLAB hits.
+        n_parts = max(1, -(-slab_total // _T_SLAB))
+        if n_parts == 1:
+            bounds = [0, slab_q]
+        else:
+            grid = np.asarray(csum[:: max(1, slab_q // 256)])
+            targets = np.arange(1, n_parts) * (slab_total / n_parts)
+            cut = np.searchsorted(grid, targets) * max(1, slab_q // 256)
+            bounds = [0] + [int(c) for c in cut] + [slab_q]
+        for i0, i1 in zip(bounds[:-1], bounds[1:]):
+            if i0 >= i1:
+                continue
+            base = int(csum[i0 - 1]) if i0 > 0 else 0
+            sub_total = (int(csum[i1 - 1]) if i1 > 0 else 0) - base
+            if sub_total == 0:
+                continue
+            if sub_total > _T_SLAB:
+                logger.warning("Expansion subrange still exceeds the "
+                               "hit slab; falling back to host scan")
+                return None
+            cap = _PAIR_CAP
+            while True:
+                p_c, a_c, n_pairs = _stage_b_jit(
+                    lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
+                    tbl_p, tbl_pos, T=_T_SLAB, Q=slab_q, CAP=cap, s=s)
+                n = int(n_pairs)
+                if n <= cap:
+                    break
+                cap = _next_pow2(n)
+            if n:
+                pair_bufs.append((p_c, a_c, n))
+                n_candidates += n
+    searcher.stats["candidates"] += n_candidates
+    if not pair_bufs:
+        return None
+
+    # Stage C + batched D1 merges
+    ext = int(cover_extension)
+    merged_bufs = []   # (k, s, e) device buffers, each _D1_OUT wide
+    chunk_accum = []
+    span_total = 0
+
+    d1_out = _next_pow2(_BATCH_CHUNKS * _SPAN_CAP)
+
+    def flush_batch():
+        nonlocal chunk_accum
+        if not chunk_accum:
+            return
+        n_pad = _BATCH_CHUNKS - len(chunk_accum)
+        ks = jnp.stack([x[0] for x in chunk_accum]
+                       + [jnp.full((_SPAN_CAP,), _I32MAX, jnp.int32)] * n_pad)
+        ss = jnp.stack([x[1] for x in chunk_accum]
+                       + [jnp.zeros((_SPAN_CAP,), jnp.int32)] * n_pad)
+        es = jnp.stack([x[2] for x in chunk_accum]
+                       + [jnp.zeros((_SPAN_CAP,), jnp.int32)] * n_pad)
+        mk, ms, me, _ = _merge_jit(ks, ss, es, OUT=d1_out)
+        merged_bufs.append((mk, ms, me))
+        chunk_accum = []
+
+    C = _C_CHUNK
+    for (p_c, a_c, n) in pair_bufs:
+        for off in range(0, n, C):
+            cap = _SPAN_CAP
+            while True:
+                key, us, ue, nq = _stage_c_jit(
+                    mega_dev, codes_dev, lens_dev, p_c, a_c,
+                    jnp.int32(off), jnp.int32(n), seq_starts_dev,
+                    seq_ends_dev, seq_lens_dev, chrom_off_dev,
+                    univ_of_seq_dev, jnp.int32(k_seed),
+                    jnp.int32(searcher.lcf_static), L=L, K=K, C=C,
+                    cap=cap, seed_req=seed_req,
+                    fast_ok=searcher.fast_ok, nU=nU, ext=ext)
+                nqi = int(nq)
+                if nqi <= cap:
+                    break
+                cap = _next_pow2(nqi)
+            if nqi == 0:
+                continue
+            span_total += nqi
+            if key.shape[0] != _SPAN_CAP:
+                # escalated cap: merge this chunk alone so batch
+                # stacking keeps a fixed width
+                mk, ms, me, _ = _merge_jit(
+                    key[None], us[None], ue[None],
+                    OUT=_next_pow2(key.shape[0]))
+                merged_bufs.append((mk, ms, me))
+                continue
+            chunk_accum.append((key, us, ue))
+            if len(chunk_accum) == _BATCH_CHUNKS:
+                flush_batch()
+    flush_batch()
+    if not merged_bufs:
+        return None
+
+    # Stage D2: merge across batch outputs (hierarchically if needed)
+    while len(merged_bufs) > 1:
+        group = merged_bufs[:_BATCH_CHUNKS]
+        merged_bufs = merged_bufs[_BATCH_CHUNKS:]
+        width = max(x[0].shape[0] for x in group)
+        ks = jnp.stack([_pad_to(x[0], width, _I32MAX) for x in group])
+        ss = jnp.stack([_pad_to(x[1], width, 0) for x in group])
+        es = jnp.stack([_pad_to(x[2], width, 0) for x in group])
+        out = _next_pow2(len(group) * width)
+        mk, ms, me, _ = _merge_jit(ks, ss, es, OUT=out)
+        merged_bufs.append((mk, ms, me))
+    mk, ms, me = merged_bufs[0]
+    # Final pass guarantees a single globally merged, sorted buffer
+    OUT = mk.shape[0]
+    mk, ms, me, n_runs = _merge_jit(mk[None], ms[None], me[None], OUT=OUT)
+    n_merged = int(n_runs)
+    if n_merged == 0:
+        return None
+
+    # Universe unions -> u_size / u_span on host (tiny readback)
+    uk, us_, ue_, n_u_runs = _union_jit(mk, ms, me, OUT=_UNION_CAP, nU=nU)
+    nur = int(n_u_runs)
+    if nur > _UNION_CAP:
+        uk, us_, ue_, n_u_runs = _union_jit(
+            mk, ms, me, OUT=_next_pow2(nur), nU=nU)
+        nur = int(n_u_runs)
+    ukh = np.asarray(uk[:nur]).astype(np.int64)
+    ush = np.asarray(us_[:nur]).astype(np.int64)
+    ueh = np.asarray(ue_[:nur]).astype(np.int64)
+    u_size = np.zeros(nU, dtype=np.int64)
+    u_span = np.zeros(nU, dtype=np.int64)
+    np.add.at(u_size, ukh, ueh - ush)
+    np.maximum.at(u_span, ukh, ueh)
+    offsets = np.zeros(nU + 1, dtype=np.int64)
+    np.cumsum(u_span, out=offsets[1:])
+    u_len = int(offsets[-1])
+    if u_len >= np.iinfo(np.int32).max:
+        logger.warning("Global position axis exceeds int32; falling "
+                       "back to the host instance build")
+        return None
+    universe_p = np.asarray(universe_p, dtype=np.float64)
+    can_uncover = (u_size - universe_p * u_size).astype(np.int64)
+
+    # Stage E: assembly
+    S_pad = _next_pow2(P + 1)
+    nU_pad = _next_pow2(nU + 1)
+    P_CAP = OUT
+    offsets_dev = jnp.asarray(offsets[:nU].astype(np.int32))
+    (gs, ge, pb, set_bounds, univ_of_pair, n_pairs_d, mp, mi) = \
+        _assemble_jit(mk, ms, me, offsets_dev, jnp.int32(n_merged),
+                      OUT=OUT, P_CAP=P_CAP, S_pad=S_pad, nU=nU,
+                      nU_pad=nU_pad)
+    max_pairs = _next_pow2(int(mp))
+    max_ivls = _next_pow2(int(mi))
+
+    cost_perm = np.ones(S_pad, dtype=np.float32)
+    cost_perm[:P] = np.asarray(cost_cand, dtype=np.float32)[pid_of[perm]]
+    rank_perm = np.full(S_pad, n_rank_vals, dtype=np.int32)
+    rank_perm[:P] = np.asarray(rank_idx_cand, dtype=np.int32)[
+        pid_of[perm]]
+    can_unc_pad = np.zeros(nU_pad, dtype=np.int32)
+    can_unc_pad[:nU] = can_uncover
+    u_size_pad = np.zeros(nU_pad, dtype=np.int32)
+    u_size_pad[:nU] = u_size
+
+    dev = dict(
+        ivl_start=gs, ivl_end=ge, pair_bounds=pb, set_bounds=set_bounds,
+        univ_of_pair=univ_of_pair, cost=jnp.asarray(cost_perm),
+        rank_idx=jnp.asarray(rank_perm),
+        can_uncover=jnp.asarray(can_unc_pad),
+        u_size=jnp.asarray(u_size_pad),
+        U_pad=_next_pow2(u_len), n_rank_vals=n_rank_vals,
+        max_pairs_per_set=max_pairs, max_ivls_per_set=max_ivls)
+    return dev, perm
+
+
+def _pad_to(x, width, fill):
+    if x.shape[0] == width:
+        return x
+    pad = jnp.full((width - x.shape[0],), fill, jnp.int32)
+    return jnp.concatenate([x, pad])

@@ -744,6 +744,159 @@ def _solve_device_steps(inst):
     return np.array(order, dtype=np.int32)
 
 
+# ----------------------------------------------------------------------
+# Boundary-sum device solver ("v2") — for device-resident instances
+# ----------------------------------------------------------------------
+#
+# The v1 step (_greedy_core) computes per-pair and per-set sums with
+# jax.ops.segment_sum, i.e. unsorted scatter-adds, which XLA:TPU lowers
+# to effectively serialized updates — measured ~400 ms/pick on the
+# ebola175 instance.  Instance intervals are always sorted by pair id
+# and pairs by set id (build_instance* emit them that way), so both
+# segment sums are differences of a cumulative sum at precomputed
+# boundary indices: two passes, no scatters.  The coverage update
+# scatters only the chosen set's own intervals (<= max-intervals-per-
+# set elements instead of all M).
+
+def _greedy_core_v2(core, const):
+    """One greedy iteration over boundary-indexed instance arrays.
+
+    core: (covered[U_pad] bool, len_u[nU_pad] i32, in_cover[S_pad] bool,
+           cur_rank i32, stop bool)
+    const: dict with device arrays ivl_start/ivl_end (i32[M_pad],
+        padded intervals empty), pair_bounds (i32[P_pad+1], padded
+        pairs empty), set_bounds (i32[S_pad+1], padded sets empty),
+        univ_of_pair (i32[P_pad], padded -> dummy universe),
+        cost (f32[S_pad]), rank_idx (i32[S_pad], padded ineligible),
+        can_uncover (i32[nU_pad]) and statics n_rank_vals, U_pad,
+        max_pairs_per_set, max_ivls_per_set.
+
+    Semantics (eligibility, rank tiers, f32 ratio, first-argmin
+    tie-break) are identical to _greedy_core and the host solvers.
+    """
+    covered, len_u, in_cover, cur_rank, stop = core
+    U_pad = const["U_pad"]
+    zero1 = jnp.zeros((1,), jnp.int32)
+
+    need_u = jnp.maximum(len_u - const["can_uncover"], 0)
+    active = jnp.any(need_u > 0)
+
+    uncov = (~covered).astype(jnp.int32)
+    prefix = jnp.concatenate([zero1, jnp.cumsum(uncov)])
+    new_ivl = prefix[const["ivl_end"]] - prefix[const["ivl_start"]]
+    ivl_csum = jnp.concatenate([zero1, jnp.cumsum(new_ivl)])
+    pb = const["pair_bounds"]
+    pair_new = ivl_csum[pb[1:]] - ivl_csum[pb[:-1]]
+    pair_capped = jnp.minimum(pair_new, need_u[const["univ_of_pair"]])
+    pc_csum = jnp.concatenate([zero1, jnp.cumsum(pair_capped)])
+    sb = const["set_bounds"]
+    score = pc_csum[sb[1:]] - pc_csum[sb[:-1]]
+
+    elig = (~in_cover) & (const["rank_idx"] == cur_rank) & (score > 0)
+    ratio = jnp.where(elig, const["cost"] / score.astype(jnp.float32),
+                      jnp.inf)
+    any_elig = jnp.any(elig)
+    chosen = jnp.argmin(ratio).astype(jnp.int32)
+    pick = active & any_elig
+    adv = active & ~any_elig
+    new_stop = (~active) | (adv & (cur_rank + 1 >= const["n_rank_vals"]))
+    cur_rank = cur_rank + adv.astype(jnp.int32)
+
+    # Update: touch only the chosen set's pairs and intervals.
+    P_pad = const["univ_of_pair"].shape[0]
+    M_pad = const["ivl_start"].shape[0]
+    nU_pad = len_u.shape[0]
+    p0 = sb[chosen]
+    p1 = sb[chosen + 1]
+    jp = p0 + jnp.arange(const["max_pairs_per_set"], dtype=jnp.int32)
+    vp = (jp < p1) & pick
+    jpc = jnp.minimum(jp, P_pad - 1)
+    len_u = len_u.at[jnp.where(vp, const["univ_of_pair"][jpc],
+                               nU_pad - 1)].add(
+        jnp.where(vp, -pair_new[jpc], 0))
+    i0 = pb[p0]
+    i1 = pb[p1]
+    ji = i0 + jnp.arange(const["max_ivls_per_set"], dtype=jnp.int32)
+    vi = (ji < i1) & pick
+    jic = jnp.minimum(ji, M_pad - 1)
+    cs = jnp.where(vi, const["ivl_start"][jic], 0)
+    ce = jnp.where(vi, const["ivl_end"][jic], 0)
+    delta = jnp.zeros((U_pad + 1,), jnp.int32)
+    delta = delta.at[cs].add(vi.astype(jnp.int32))
+    delta = delta.at[ce].add(-vi.astype(jnp.int32))
+    covered = covered | (jnp.cumsum(delta[:U_pad]) > 0)
+    in_cover = in_cover.at[chosen].set(in_cover[chosen] | pick)
+    return ((covered, len_u, in_cover, cur_rank, new_stop), chosen, pick)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2),
+    static_argnames=("n_rank_vals", "n_steps", "U_pad",
+                     "max_pairs_per_set", "max_ivls_per_set"))
+def _steps_jit_v2(covered, len_u, in_cover, cur_rank, ivl_start, ivl_end,
+                  pair_bounds, set_bounds, univ_of_pair, cost, rank_idx,
+                  can_uncover, *, n_rank_vals, n_steps, U_pad,
+                  max_pairs_per_set, max_ivls_per_set):
+    const = dict(
+        ivl_start=ivl_start, ivl_end=ivl_end, pair_bounds=pair_bounds,
+        set_bounds=set_bounds, univ_of_pair=univ_of_pair, cost=cost,
+        rank_idx=rank_idx, can_uncover=can_uncover,
+        n_rank_vals=n_rank_vals, U_pad=U_pad,
+        max_pairs_per_set=max_pairs_per_set,
+        max_ivls_per_set=max_ivls_per_set)
+
+    def body(core, _):
+        core, chosen, pick = _greedy_core_v2(core, const)
+        return core, (chosen, pick)
+
+    core0 = (covered, len_u, in_cover, cur_rank, jnp.bool_(False))
+    core, (chosens, picks) = jax.lax.scan(body, core0, None, length=n_steps)
+    covered, len_u, in_cover, cur_rank, stop = core
+    return covered, len_u, in_cover, cur_rank, stop, chosens, picks
+
+
+def solve_boundary_instance(dev, n_sets_real):
+    """Solve a boundary-indexed device instance; return picks in order.
+
+    `dev` is a dict of device (or host) arrays as consumed by
+    _greedy_core_v2 plus u_size (i32[nU_pad]) and statics n_rank_vals,
+    U_pad, max_pairs_per_set, max_ivls_per_set.  Set ids are dense
+    solver ids 0..n_sets_real-1; the caller maps them back to candidate
+    ids.  The big state stays on device; per dispatch only the
+    (chosen, pick) step vectors and the stop flag are read back.
+    """
+    consts = [jnp.asarray(dev[k]) for k in (
+        "ivl_start", "ivl_end", "pair_bounds", "set_bounds",
+        "univ_of_pair", "cost", "rank_idx", "can_uncover")]
+    U_pad = int(dev["U_pad"])
+    covered = _init_covered_jit(consts[0], consts[1], u_len_pad=U_pad)
+    len_u = jnp.asarray(dev["u_size"]).astype(jnp.int32)
+    in_cover = jnp.zeros((int(consts[5].shape[0]),), bool)
+    cur_rank = jnp.int32(0)
+    n_rank_vals = int(dev["n_rank_vals"])
+
+    order = []
+    max_dispatch = 2 + (n_sets_real + n_rank_vals
+                        ) // max(1, _STEPS_PER_DISPATCH // 2)
+    with maybe_trace("set_cover_solve"):
+        for _ in range(max_dispatch):
+            covered, len_u, in_cover, cur_rank, stop, chosens, picks = \
+                _steps_jit_v2(
+                    covered, len_u, in_cover, cur_rank, *consts,
+                    n_rank_vals=n_rank_vals,
+                    n_steps=_STEPS_PER_DISPATCH, U_pad=U_pad,
+                    max_pairs_per_set=int(dev["max_pairs_per_set"]),
+                    max_ivls_per_set=int(dev["max_ivls_per_set"]))
+            picks_np = np.asarray(picks)
+            order.extend(np.asarray(chosens)[picks_np].tolist())
+            if bool(stop):
+                break
+        else:
+            logger.warning("Boundary-step solver hit its dispatch "
+                           "bound; solution may be truncated")
+    return np.array(order, dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("u_len_pad", "n_rank_vals"))
 def _solve_jit_padded(ivl_start, ivl_end, pair_of_ivl, set_of_pair,
                       univ_of_pair, cost, rank_idx, can_uncover, u_size,

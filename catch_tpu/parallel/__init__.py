@@ -13,8 +13,14 @@ are jax.sharding over a Mesh:
   psum/pmin collectives (catch_tpu/parallel/set_cover.py).
 - P2/P4 (per-group filtering, pairwise distances) remain host loops
   over device-resident batched kernels; groups are independent.
+
+Multi-host: catch_tpu/parallel/distributed.py initializes a
+jax.distributed process group from the environment, after which
+make_mesh() spans every host's devices and the same sharded code paths
+run with DCN carrying only per-iteration scalars.
 """
 
 from catch_tpu.parallel.mesh import make_mesh
 from catch_tpu.parallel.set_cover import solve_instance_sharded
 from catch_tpu.parallel.cover import sharded_match_counts
+from catch_tpu.parallel.distributed import maybe_initialize

@@ -1,0 +1,244 @@
+"""Parity tests: device-resident instance pipeline vs the host path.
+
+The device pipeline (ops/scan_instance + solve_boundary_instance) must
+produce the exact same merged cover intervals and the exact same greedy
+pick sequence as the host path (scan_sparse/per-sequence scan ->
+build_instance_from_cover_arrays -> host lazy solver) on any workload
+it accepts.  Shape constants are monkeypatched small so the slabbed /
+subrange / batched code paths are exercised on CPU-sized corpora.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from catch_tpu.filters.candidates import make_candidate_probes_from_sequences
+from catch_tpu.filters.duplicate import DuplicateFilter
+from catch_tpu.filters.set_cover_filter import SetCoverFilter
+from catch_tpu.genome import Genome
+from catch_tpu.ops import scan_instance, set_cover
+from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+
+BASES = np.array(list("ACGT"))
+
+
+def _corpus(rng, n_genomes, n_len, mut=0.03, n_chrs=1):
+    base = rng.choice(BASES, size=n_len)
+    genomes = []
+    for _ in range(n_genomes):
+        seq = base.copy()
+        m = rng.random(n_len) < mut
+        seq[m] = rng.choice(BASES, size=int(m.sum()))
+        if n_chrs == 1:
+            genomes.append(Genome.from_one_seq("".join(seq)))
+        else:
+            bounds = np.linspace(0, n_len, n_chrs + 1).astype(int)
+            chrs = {f"chr{i}": "".join(seq[a:b]) for i, (a, b) in
+                    enumerate(zip(bounds[:-1], bounds[1:]))}
+            genomes.append(Genome.from_chrs(chrs))
+    return genomes
+
+
+@pytest.fixture
+def small_shapes(monkeypatch):
+    """Shrink static shapes so CPU tests hit the slab/subrange/batch
+    paths instead of the single-dispatch fast case."""
+    monkeypatch.setattr(scan_instance, "_SLAB_SAMPLES", 1 << 11)
+    monkeypatch.setattr(scan_instance, "_T_SLAB", 1 << 15)
+    monkeypatch.setattr(scan_instance, "_PAIR_CAP", 1 << 13)
+    monkeypatch.setattr(scan_instance, "_C_CHUNK", 1 << 10)
+    monkeypatch.setattr(scan_instance, "_SPAN_CAP", 1 << 12)
+    monkeypatch.setattr(scan_instance, "_BATCH_CHUNKS", 4)
+    monkeypatch.setattr(scan_instance, "_UNION_CAP", 1 << 10)
+
+
+def _run_pipeline_direct(genomes, probes, model_kw, cover_extension=0,
+                         universe_p=None, rank_idx=None, n_rank_vals=1):
+    """Run scan_to_boundary_instance the way SetCoverFilter does."""
+    model = CoverModel(**model_kw)
+    searcher = ProbeSearcher(probes, model)
+    pid_of = {}
+    for i, p in enumerate(probes):
+        pid_of[p] = i
+    pid = np.array([pid_of[p] for p in searcher.probes], dtype=np.int64)
+    sequences, seq_univ, seq_off, seq_len = [], [], [], []
+    for j, g in enumerate(genomes):
+        off = 0
+        for s in g.seqs:
+            sequences.append(s)
+            seq_univ.append(j)
+            seq_off.append(off)
+            seq_len.append(len(s))
+            off += len(s)
+    nU = len(genomes)
+    if universe_p is None:
+        universe_p = np.ones(nU)
+    if rank_idx is None:
+        rank_idx = np.zeros(len(probes), dtype=np.int32)
+    costs = np.ones(len(probes), dtype=np.float32)
+    r = scan_instance.scan_to_boundary_instance(
+        searcher, sequences, np.array(seq_univ), np.array(seq_off),
+        np.array(seq_len), nU, cover_extension, universe_p, rank_idx,
+        n_rank_vals, costs, pid)
+    return searcher, pid, r, (sequences, np.array(seq_univ),
+                              np.array(seq_off),
+                              np.array(seq_len, dtype=np.int64))
+
+
+def _host_instance(searcher, pid, seq_info, genomes, cover_extension,
+                   universe_p, ranks):
+    sequences, seq_univ, seq_off, seq_len = seq_info
+    p_idx, s_idx, st, en = searcher.find_probe_covers_flat(
+        sequences, force_batch=False)
+    st = np.maximum(0, st - cover_extension)
+    en = np.minimum(seq_len[s_idx], en + cover_extension)
+    return set_cover.build_instance_from_cover_arrays(
+        pid[p_idx], seq_univ[s_idx], st + seq_off[s_idx],
+        en + seq_off[s_idx], n_sets=int(pid.max()) + 1 if len(pid) else 0,
+        n_universes=len(genomes), universe_p=universe_p, ranks=ranks)
+
+
+def _dev_intervals_as_tuples(dev, perm, pid, nU):
+    """Readback of the device instance as (candidate, univ, gs, ge)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    gs = np.asarray(dev["ivl_start"])
+    ge = np.asarray(dev["ivl_end"])
+    pb = np.asarray(dev["pair_bounds"])
+    sb = np.asarray(dev["set_bounds"])
+    uop = np.asarray(dev["univ_of_pair"])
+    out = []
+    S = len(perm)
+    for s_solver in range(S):
+        for pr in range(sb[s_solver], sb[s_solver + 1]):
+            for i in range(pb[pr], pb[pr + 1]):
+                out.append((int(pid[perm[s_solver]]), int(uop[pr]),
+                            int(gs[i]), int(ge[i])))
+    return sorted(out)
+
+
+def _host_intervals_as_tuples(inst):
+    out = []
+    for i in range(len(inst.ivl_start)):
+        pr = inst.pair_of_ivl[i]
+        out.append((int(inst.set_of_pair[pr]), int(inst.univ_of_pair[pr]),
+                    int(inst.ivl_start[i]), int(inst.ivl_end[i])))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("model_kw,ext", [
+    (dict(mismatches=2, lcf_thres=60), 30),
+    (dict(mismatches=0, lcf_thres=60), 0),
+    (dict(mismatches=2, lcf_thres=80), 0),   # fast path (lcf >= plen)
+    (dict(mismatches=1, lcf_thres=60, island_of_exact_match=25), 10),
+])
+def test_instance_parity(small_shapes, model_kw, ext):
+    rng = np.random.default_rng(17)
+    genomes = _corpus(rng, 6, 1500)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+    searcher, pid, r, seq_info = _run_pipeline_direct(
+        genomes, probes, model_kw, cover_extension=ext)
+    assert r is not None
+    dev, perm = r
+    inst = _host_instance(searcher, pid, seq_info, genomes, ext,
+                          np.ones(len(genomes)), None)
+    # identical merged intervals, universe sizes, and coverage floors
+    assert _dev_intervals_as_tuples(dev, perm, pid, len(genomes)) == \
+        _host_intervals_as_tuples(inst)
+    assert np.array_equal(
+        np.asarray(dev["u_size"])[:len(genomes)], inst.u_size)
+    assert np.array_equal(
+        np.asarray(dev["can_uncover"])[:len(genomes)], inst.can_uncover)
+    # identical pick sequence
+    order_dev = set_cover.solve_boundary_instance(dev, len(perm))
+    chosen_dev = pid[perm[order_dev]]
+    chosen_host = set_cover.solve_instance(inst)
+    assert np.array_equal(chosen_dev, np.asarray(chosen_host))
+
+
+def test_instance_parity_multichrom_partial_coverage(small_shapes):
+    rng = np.random.default_rng(5)
+    genomes = _corpus(rng, 5, 2000, n_chrs=3)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+    universe_p = np.array([0.5, 1.0, 0.8, 0.65, 1.0])
+    searcher, pid, r, seq_info = _run_pipeline_direct(
+        genomes, probes, dict(mismatches=2, lcf_thres=60),
+        cover_extension=20, universe_p=universe_p)
+    assert r is not None
+    dev, perm = r
+    inst = _host_instance(searcher, pid, seq_info, genomes, 20,
+                          universe_p, None)
+    assert _dev_intervals_as_tuples(dev, perm, pid, len(genomes)) == \
+        _host_intervals_as_tuples(inst)
+    order_dev = set_cover.solve_boundary_instance(dev, len(perm))
+    assert np.array_equal(pid[perm[order_dev]],
+                          np.asarray(set_cover.solve_instance(inst)))
+
+
+def test_instance_parity_with_ranks(small_shapes):
+    rng = np.random.default_rng(23)
+    genomes = _corpus(rng, 4, 1200)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+    ranks_raw = rng.integers(0, 3, size=len(probes)).astype(np.int64)
+    rank_vals = np.unique(ranks_raw)
+    rank_idx = np.searchsorted(rank_vals, ranks_raw).astype(np.int32)
+    searcher, pid, r, seq_info = _run_pipeline_direct(
+        genomes, probes, dict(mismatches=2, lcf_thres=60),
+        cover_extension=0, rank_idx=rank_idx,
+        n_rank_vals=len(rank_vals))
+    assert r is not None
+    dev, perm = r
+    inst = _host_instance(searcher, pid, seq_info, genomes, 0,
+                          np.ones(len(genomes)), ranks_raw)
+    order_dev = set_cover.solve_boundary_instance(dev, len(perm))
+    assert np.array_equal(pid[perm[order_dev]],
+                          np.asarray(set_cover.solve_instance(inst)))
+
+
+def test_filter_device_path_matches_host_path(small_shapes, monkeypatch):
+    rng = np.random.default_rng(41)
+    genomes = _corpus(rng, 8, 1800)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+
+    monkeypatch.setenv("CATCH_TPU_INSTANCE", "host")
+    f1 = SetCoverFilter(mismatches=2, lcf_thres=60, cover_extension=25)
+    out_host = f1.filter([probes], [genomes], input_is_grouped=True)
+
+    monkeypatch.setenv("CATCH_TPU_INSTANCE", "force")
+    f2 = SetCoverFilter(mismatches=2, lcf_thres=60, cover_extension=25)
+    out_dev = f2.filter([probes], [genomes], input_is_grouped=True)
+    assert [p.seq_str for p in out_dev[0]] == \
+        [p.seq_str for p in out_host[0]]
+    # the forced run really took the device path
+    assert f2.last_run_stats["set_cover_picks"] > 0
+
+
+def test_duplicate_candidates_last_wins(small_shapes, monkeypatch):
+    """Duplicate candidate sequences map to the last candidate id, and
+    tie-breaks order by candidate id (not searcher order)."""
+    rng = np.random.default_rng(3)
+    genomes = _corpus(rng, 4, 1000)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = make_candidate_probes_from_sequences(
+        seqs, probe_length=80, probe_stride=40)  # with duplicates
+    monkeypatch.setenv("CATCH_TPU_INSTANCE", "host")
+    f1 = SetCoverFilter(mismatches=2, lcf_thres=60)
+    out_host = f1.filter([probes], [genomes], input_is_grouped=True)
+    monkeypatch.setenv("CATCH_TPU_INSTANCE", "force")
+    f2 = SetCoverFilter(mismatches=2, lcf_thres=60)
+    out_dev = f2.filter([probes], [genomes], input_is_grouped=True)
+    assert [p.seq_str for p in out_dev[0]] == \
+        [p.seq_str for p in out_host[0]]
