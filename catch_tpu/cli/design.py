@@ -42,39 +42,33 @@ def main(args):
 
     if args.args_type == "large":
         logger.warning(
-            "With design_large, the default values for some arguments "
-            "--- such as mismatches (-m) or cover extension (-e) --- "
-            "might be more relaxed than desired. Run 'design_large "
-            "--help' to see the default values; they can be overridden "
-            "by specifying the argument.")
+            "design_large relaxes several defaults (e.g. -m, -e) to "
+            "favor runtime over probe count; see 'design_large --help' "
+            "for the values, and pass any argument explicitly to "
+            "override its relaxed default.")
 
     if args.ncbi_api_key:
         from catch_tpu.utils import ncbi_neighbors
         ncbi_neighbors.ncbi_api_key = args.ncbi_api_key
 
-    # Read the genomes
+    # Load one genome group per dataset argument: either a FASTA path
+    # or 'download:TAXID[-SEGMENT]' fetched from NCBI.
     genomes_grouped = []
     genomes_grouped_names = []
     for ds in args.dataset:
         if ds.startswith("collection:"):
             raise ValueError(
-                "A collection of datasets (via 'collection:') is not "
-                "allowed as input. Please specify only NCBI taxonomy IDs "
-                "to download or FASTA files.")
+                "'collection:' inputs are not supported here; give each "
+                "dataset as a FASTA path or as 'download:taxid'.")
         elif ds.startswith("download:"):
             from catch_tpu.utils import ncbi_neighbors
             taxid = ds[len("download:"):]
-            if args.write_taxid_acc:
-                taxid_fn = os.path.join(args.write_taxid_acc,
-                                        str(taxid) + ".txt")
-            else:
-                taxid_fn = None
-            if "-" in taxid:
-                taxid, segment = taxid.split("-")
-            else:
-                segment = None
+            taxid_fn = (os.path.join(args.write_taxid_acc,
+                                     str(taxid) + ".txt")
+                        if args.write_taxid_acc else None)
+            taxid, _, segment = taxid.partition("-")
             ds_fasta_tf = ncbi_neighbors.construct_fasta_for_taxid(
-                taxid, segment=segment, write_to=taxid_fn)
+                taxid, segment=segment or None, write_to=taxid_fn)
             genomes_grouped.append(
                 seq_io.read_genomes_from_fasta(ds_fasta_tf.name))
             genomes_grouped_names.append("taxid:" + str(taxid))
@@ -84,18 +78,17 @@ def main(args):
             genomes_grouped_names.append(os.path.basename(ds))
         else:
             raise ValueError(
-                "Dataset labels are not allowed as input. Please specify "
-                "only NCBI taxonomy IDs to download (via "
-                "'download:taxid') or FASTA files. If you already "
-                f"specified a FASTA file, please check that the path to "
-                f"'{ds}' is valid.")
+                f"Cannot interpret dataset {ds!r}: it is neither an "
+                "existing FASTA file nor a 'download:taxid' spec "
+                "(named dataset labels are not supported). If it was "
+                "meant to be a FASTA path, check that the path exists.")
 
     if (args.limit_target_genomes and
             args.limit_target_genomes_randomly_with_replacement):
         raise Exception(
-            "Cannot --limit-target-genomes and "
-            "--limit-target-genomes-randomly-with-replacement at the "
-            "same time")
+            "--limit-target-genomes and "
+            "--limit-target-genomes-randomly-with-replacement are "
+            "mutually exclusive")
     elif args.limit_target_genomes:
         genomes_grouped = [genomes[:args.limit_target_genomes]
                            for genomes in genomes_grouped]
@@ -119,13 +112,13 @@ def main(args):
                 recommended.append("--cluster-from-fragments 50000")
             rec_str = ""
             if recommended:
-                rec_str = ("Recommended options include: "
+                rec_str = (" Suggested flags: "
                            + ", ".join("'" + x + "'" for x in recommended))
             logger.warning(
-                "If runtime or memory usage are problematic, consider "
-                "using design_large or some of the options it sets, "
-                "which may be helpful in lowering runtime and memory "
-                f"usage for this design. {rec_str}")
+                "This is a large input; if runtime or memory become a "
+                "problem, design_large (or the individual speed flags "
+                "it enables) trades a slightly larger probe set for a "
+                f"much cheaper design.{rec_str}")
 
     avoided_genomes_fasta = []
     if args.avoid_genomes:
@@ -134,52 +127,41 @@ def main(args):
                 avoided_genomes_fasta.append(ag)
             else:
                 raise ValueError(
-                    "Dataset labels are not allowed as input. Please "
-                    "specify only FASTA files. If you already specified "
-                    f"a FASTA file, please check that the path to '{ag}' "
-                    "is valid.")
+                    f"--avoid-genomes entry {ag!r} is not an existing "
+                    "FASTA file (named dataset labels are not "
+                    "supported here)")
 
     if not args.lcf_thres:
         args.lcf_thres = args.probe_length
-    if args.probe_stride > args.probe_length:
-        logger.warning(
-            "PROBE_STRIDE (%d) is greater than PROBE_LENGTH (%d), which "
-            "is usually undesirable and may lead to undefined behavior",
-            args.probe_stride, args.probe_length)
-    if args.lcf_thres > args.probe_length:
-        logger.warning(
-            "LCF_THRES (%d) is greater than PROBE_LENGTH (%d), which is "
-            "usually undesirable and may lead to undefined behavior",
-            args.lcf_thres, args.probe_length)
-    if args.island_of_exact_match > args.probe_length:
-        logger.warning(
-            "ISLAND_OF_EXACT_MATCH (%d) is greater than PROBE_LENGTH "
-            "(%d), which is usually undesirable and may lead to "
-            "undefined behavior", args.island_of_exact_match,
-            args.probe_length)
+    for name, val in (("PROBE_STRIDE", args.probe_stride),
+                      ("LCF_THRES", args.lcf_thres),
+                      ("ISLAND_OF_EXACT_MATCH",
+                       args.island_of_exact_match)):
+        if val > args.probe_length:
+            logger.warning(
+                "%s (%d) exceeds PROBE_LENGTH (%d); such settings are "
+                "rarely what you want and their behavior is not "
+                "well-defined", name, val, args.probe_length)
     if args.mismatches / args.probe_length > 0.15:
         logger.warning(
-            "MISMATCHES (%d) is higher relative to PROBE_LENGTH (%d) "
-            "than typically provided, and may lead to slower runtime "
-            "and lower enrichment in practice", args.mismatches,
-            args.probe_length)
+            "MISMATCHES (%d) is unusually high for PROBE_LENGTH (%d); "
+            "expect a slower design and, in practice, weaker "
+            "enrichment", args.mismatches, args.probe_length)
 
     if args.kmer_probe_map_k:
         if args.kmer_probe_map_k > args.probe_length:
             raise Exception(
-                "KMER_PROBE_MAP_K (%d) exceeds PROBE_LENGTH (%d), which "
-                "is not permitted" % (args.kmer_probe_map_k,
-                                      args.probe_length))
+                "KMER_PROBE_MAP_K (%d) cannot exceed PROBE_LENGTH (%d)"
+                % (args.kmer_probe_map_k, args.probe_length))
         kmer_probe_map_k_scf = args.kmer_probe_map_k
         kmer_probe_map_k_af = args.kmer_probe_map_k
         kmer_probe_map_k_analyzer = args.kmer_probe_map_k
     else:
         if args.probe_length <= 20:
             logger.warning(
-                "PROBE_LENGTH (%d) is small; you may want to consider "
-                "setting --kmer-probe-map-k to be small as well in order "
-                "to be more sensitive in mapping candidate probes to "
-                "target sequence", args.probe_length)
+                "With a PROBE_LENGTH this small (%d), a small "
+                "--kmer-probe-map-k makes the probe-to-target mapping "
+                "more sensitive", args.probe_length)
         kmer_probe_map_k_scf = 20
         kmer_probe_map_k_af = 20
         kmer_probe_map_k_analyzer = 10
@@ -187,30 +169,29 @@ def main(args):
     if args.add_adapters:
         if not (args.adapter_a or args.adapter_b):
             logger.warning(
-                "Adapter sequences will be added, but default sequences "
-                "will be used; to provide adapter sequences, use "
-                "--adapter-a and --adapter-b")
+                "--add-adapters without --adapter-a/--adapter-b uses "
+                "the built-in default adapter sequences")
     else:
         if args.adapter_a or args.adapter_b:
             raise Exception(
-                "Adapter sequences were provided with --adapter-a and "
-                "--adapter-b, but --add-adapters is required to add "
-                "adapter sequences onto the ends of probes")
+                "--adapter-a/--adapter-b have no effect unless "
+                "--add-adapters is also given")
 
     if args.small_seq_skip is not None and args.small_seq_min is not None:
         raise Exception(
-            "Both --small-seq-skip and --small-seq-min were specified, "
-            "but both cannot be used together")
+            "--small-seq-skip and --small-seq-min are mutually "
+            "exclusive")
 
     if args.cluster_and_design_separately and args.identify:
         raise Exception(
-            "Cannot use --cluster-and-design-separately with --identify, "
-            "because clustering collapses genome groupings into one")
+            "--identify needs the per-dataset genome groupings, which "
+            "--cluster-and-design-separately collapses; the two cannot "
+            "be combined")
     if args.cluster_from_fragments and \
             not args.cluster_and_design_separately:
         raise Exception(
-            "Cannot use --cluster-from-fragments without also setting "
-            "--cluster-and-design-separately")
+            "--cluster-from-fragments only applies when "
+            "--cluster-and-design-separately is set")
 
     custom_cover_range_fn = (tuple(args.custom_hybridization_fn)
                              if args.custom_hybridization_fn else None)
@@ -229,41 +210,40 @@ def main(args):
         polya_length, polya_mismatches = args.filter_polya
         if polya_length > args.probe_length:
             logger.warning(
-                "Length of poly(A) stretch to filter (%d) is greater "
-                "than PROBE_LENGTH (%d), which is usually undesirable",
+                "The poly(A) run length to filter (%d) exceeds "
+                "PROBE_LENGTH (%d); no probe can contain such a run",
                 polya_length, args.probe_length)
         if polya_length < 10:
             logger.warning(
-                "Length of poly(A) stretch to filter (%d) is short, and "
-                "may lead to many probes being filtered", polya_length)
+                "A poly(A) run length this short (%d) will drop many "
+                "probes", polya_length)
         if polya_mismatches > 10:
             logger.warning(
-                "Number of mismatches to tolerate when searching for "
-                "poly(A) stretches (%d) is high, and may lead to many "
-                "probes being filtered", polya_mismatches)
+                "Tolerating %d mismatches in poly(A) runs is "
+                "aggressive and will drop many probes", polya_mismatches)
         filters.append(PolyAFilter(polya_length, polya_mismatches))
 
     if (args.filter_with_lsh_hamming is not None
             and args.filter_with_lsh_minhash is not None):
-        raise Exception("Cannot use both --filter-with-lsh-hamming and "
-                        "--filter-with-lsh-minhash")
+        raise Exception("--filter-with-lsh-hamming and "
+                        "--filter-with-lsh-minhash are mutually "
+                        "exclusive")
     if args.filter_with_lsh_hamming is not None:
         if args.filter_with_lsh_hamming > args.mismatches:
             logger.warning(
-                "Setting FILTER_WITH_LSH_HAMMING (%d) to be greater "
-                "than MISMATCHES (%d) may cause the probes to achieve "
-                "less than the desired coverage",
+                "FILTER_WITH_LSH_HAMMING (%d) above MISMATCHES (%d) "
+                "can collapse probes the model distinguishes, so the "
+                "design may fall short of the requested coverage",
                 args.filter_with_lsh_hamming, args.mismatches)
         filters.append(NearDuplicateFilterWithHammingDistance(
             args.filter_with_lsh_hamming, args.probe_length))
     elif args.filter_with_lsh_minhash is not None:
         if args.mismatches < 3:
             logger.warning(
-                "MISMATCHES is set to %d; at low values of MISMATCHES "
-                "(0, 1, or 2), using --filter-with-lsh-minhash "
-                "(particularly with high values of FILTER_WITH_LSH_"
-                "MINHASH) may cause the probes to achieve less than the "
-                "desired coverage", args.mismatches)
+                "At MISMATCHES=%d (<= 2), MinHash near-duplicate "
+                "collapsing (especially with a large threshold) can "
+                "leave the design short of the requested coverage",
+                args.mismatches)
         filters.append(NearDuplicateFilterWithMinHash(
             args.filter_with_lsh_minhash))
     else:

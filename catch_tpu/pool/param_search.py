@@ -59,33 +59,33 @@ def _make_loss_fn(probe_counts, max_total_count, coeffs, weights,
         num_params = int(len(x) / num_datasets)
         assert len(coeffs) == num_params
 
-        opt_val = 0
-        for i, dataset in enumerate(sorted(probe_counts.keys())):
-            opt_val_dataset = 0
-            for j in range(num_params):
-                v = x[num_params * i + j]
-                opt_val_dataset += coeffs[j] * np.power(v, 2.0)
-            opt_val += weights[dataset] * opt_val_dataset
+        xs = np.asarray(x, dtype=np.float64).reshape(
+            num_datasets, num_params)
+        w = np.asarray([weights[d] for d in sorted(probe_counts.keys())],
+                       dtype=np.float64)
+        quad = float(np.sum(
+            w[:, None] * np.asarray(coeffs)[None, :] * xs * xs))
 
         eps = func_args[0]
         count = total_probe_count(x)
         if np.isnan(count):
-            # ND interpolation outside the convex hull of computed
-            # points yields nan; make the barrier huge
+            # Outside the convex hull of the computed grid the ND
+            # interpolator has no value; push the optimizer back hard.
             logger.warning(
-                "Parameter values being searched are outside the convex "
-                "hull of computed points; unable to interpolate a probe "
-                "count")
-            barrier_val = 10000000
+                "Search left the convex hull of the computed parameter "
+                "grid; no probe count can be interpolated there")
+            barrier = 10000000
         elif count >= max_total_count:
-            # Soft slope beyond the barrier so the approximate gradient
-            # points back inside (reference :104-114)
-            barrier_val = 9999 + 10000.0 * np.log(
+            # Past the limit the log barrier is undefined; a steep
+            # finite slope keeps the approximate gradient pointing back
+            # toward feasibility.  The constants (9999 offset, 10000
+            # slope) define the optimization landscape and match the
+            # reference's (param_search.py:94-114) for parity.
+            barrier = 9999 + 10000.0 * np.log(
                 count - max_total_count + 1)
         else:
-            barrier_val = -1.0 * eps * np.log(
-                max_total_count - count + 1)
-        return opt_val + barrier_val
+            barrier = -1.0 * eps * np.log(max_total_count - count + 1)
+        return quad + barrier
 
     return loss
 
@@ -150,23 +150,23 @@ def _optimize_loss(probe_counts, loss_fn, bounds, x0, initial_eps=10.0,
     decaying eps 10 -> 0.01 by 0.1 (reference :268-318)."""
     from scipy import optimize
 
-    eps = initial_eps
+    count_fn = ic._make_total_probe_count_across_datasets_fn(
+        probe_counts, interp_fn_type=interp_fn_type)
     sol = x0
+    eps = initial_eps
     while eps >= 0.01:
-        x0_probe_count = ic._make_total_probe_count_across_datasets_fn(
-            probe_counts, interp_fn_type=interp_fn_type)(x0)
         logger.info(
-            "Starting an iteration with eps=%f, with x0 yielding %f "
-            "probes", eps, x0_probe_count)
-        sol, nfeval, rc = optimize.fmin_tnc(
+            "Barrier round at eps=%f (starting point interpolates to "
+            "%f probes)", eps, count_fn(x0))
+        sol, _, rc = optimize.fmin_tnc(
             loss_fn, x0, bounds=bounds, args=(eps,), approx_grad=True,
             epsilon=step_size, disp=1, maxfun=2500)
-        if rc in [0, 1, 2]:
-            logger.info("  Iteration was successful")
+        if rc in (0, 1, 2):
+            logger.info("  barrier round converged")
         else:
-            logger.info("  Iteration failed to converge!")
+            logger.info("  barrier round did NOT converge (rc=%s)", rc)
         x0 = sol
-        eps = 0.1 * eps
+        eps *= 0.1
     return sol
 
 
@@ -193,23 +193,20 @@ def _round_params(params, probe_counts, max_total_count, loss_coeffs,
     assert len(params) == 2 * num_datasets
     assert len(loss_coeffs) == 2
 
+    def snap(v, multiple, eps):
+        # Round up to the grid multiple, except when v sits within eps
+        # of the multiple below it (floating-point slack from the
+        # continuous search), which rounds down.
+        floor_v = ic._round_down(v, multiple)
+        return floor_v if v - floor_v < eps else ic._round_up(v, multiple)
+
     params_rounded = []
     for i in range(num_datasets):
-        mismatches, cover_extension = params[2 * i], params[2 * i + 1]
-        if mismatches - ic._round_down(
-                mismatches, mismatches_round) < mismatches_eps:
-            mismatches = ic._round_down(mismatches, mismatches_round)
-        else:
-            mismatches = ic._round_up(mismatches, mismatches_round)
-        if cover_extension - ic._round_down(
-                cover_extension,
-                cover_extension_round) < cover_extension_eps:
-            cover_extension = ic._round_down(cover_extension,
-                                             cover_extension_round)
-        else:
-            cover_extension = ic._round_up(cover_extension,
-                                           cover_extension_round)
-        params_rounded += [mismatches, cover_extension]
+        params_rounded.append(
+            snap(params[2 * i], mismatches_round, mismatches_eps))
+        params_rounded.append(
+            snap(params[2 * i + 1], cover_extension_round,
+                 cover_extension_eps))
 
     total_probe_count = ic._make_total_probe_count_across_datasets_fn(
         probe_counts, interp_fn_type="standard")
@@ -221,28 +218,28 @@ def _round_params(params, probe_counts, max_total_count, loss_coeffs,
 
     loss_fn = _make_loss_fn(probe_counts, max_total_count, loss_coeffs,
                             weights, interp_fn_type="standard")
+    # Greedy tightening: repeatedly take the single-parameter decrement
+    # that lowers the loss the most while keeping the count feasible.
     while True:
-        curr_loss = loss_fn(params_rounded, 0)
-        min_loss, min_loss_new_params = curr_loss, None
+        best_loss = loss_fn(params_rounded, 0)
+        best = None
         for i in range(len(params_rounded)):
-            params_tmp = list(params_rounded)
-            if params_tmp[i] == 0:
+            if params_rounded[i] == 0:
                 continue
-            step = mismatches_round if i % 2 == 0 else cover_extension_round
-            new_value = params_tmp[i] - step
-            if bounds is not None and new_value < bounds[i][0]:
+            step = (mismatches_round if i % 2 == 0
+                    else cover_extension_round)
+            trial = list(params_rounded)
+            trial[i] -= step
+            if bounds is not None and trial[i] < bounds[i][0]:
                 continue
-            params_tmp[i] = new_value
-            if total_probe_count(params_tmp) >= max_total_count:
+            if total_probe_count(trial) >= max_total_count:
                 continue
-            new_loss = loss_fn(params_tmp, 0)
-            if new_loss < min_loss:
-                min_loss = new_loss
-                min_loss_new_params = params_tmp
-        if min_loss_new_params is not None:
-            params_rounded = min_loss_new_params
-        else:
+            trial_loss = loss_fn(trial, 0)
+            if trial_loss < best_loss:
+                best_loss, best = trial_loss, trial
+        if best is None:
             break
+        params_rounded = best
     return params_rounded
 
 
@@ -291,35 +288,31 @@ def standard_search(probe_counts, max_total_count,
     x_sol = _optimize_loss(probe_counts, loss_fn, bounds, x0,
                            interp_fn_type="standard")
 
-    logger.info("##############################")
-    logger.info("Continuous parameter values:")
+    count_fn = ic._make_total_probe_count_across_datasets_fn(
+        probe_counts, interp_fn_type="standard")
+    logger.info("Continuous solution per dataset:")
     _log_params_by_dataset(x_sol, probe_counts, "float")
-    x_sol_count = ic._make_total_probe_count_across_datasets_fn(
-        probe_counts, interp_fn_type="standard")(x_sol)
-    logger.info("TOTAL INTERPOLATED PROBE COUNT: %f", x_sol_count)
-    logger.info("##############################")
+    logger.info("Continuous solution interpolates to %f probes",
+                count_fn(x_sol))
 
     opt_params = _round_params(
         x_sol, probe_counts, max_total_count, loss_coeffs,
         dataset_weights, mismatches_round=mismatches_round,
         cover_extension_round=cover_extension_round, bounds=bounds)
 
-    logger.info("##############################")
-    logger.info("Rounded parameter values:")
+    logger.info("Rounded solution per dataset:")
     _log_params_by_dataset(opt_params, probe_counts, "int")
-    opt_params_count = ic._make_total_probe_count_across_datasets_fn(
-        probe_counts, interp_fn_type="standard")(opt_params)
+    opt_params_count = count_fn(opt_params)
     opt_params_loss = loss_fn(opt_params, 0)
-    logger.info("TOTAL PROBE COUNT: %d", opt_params_count)
-    logger.info("TOTAL PARAMS LOSS: %f", opt_params_loss)
-    logger.info("##############################")
+    logger.info("Rounded solution: %d probes, loss %f",
+                opt_params_count, opt_params_loss)
 
     if verify_without_interp:
-        opt_params_count_no_interp = _total_probe_count_without_interp(
-            opt_params, probe_counts)
-        logger.info("TOTAL PROBE COUNT WITHOUT INTERP: %d",
-                    opt_params_count_no_interp)
-        assert opt_params_count == opt_params_count_no_interp
+        exact = _total_probe_count_without_interp(opt_params,
+                                                  probe_counts)
+        logger.info("Exact (non-interpolated) count at the rounded "
+                    "solution: %d", exact)
+        assert opt_params_count == exact
 
     opt_params_dict = {}
     for i, dataset in enumerate(sorted(probe_counts.keys())):

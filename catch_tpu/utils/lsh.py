@@ -106,28 +106,45 @@ class MinHashFamily:
         """Collision probability = Jaccard similarity = 1 - dist."""
         return 1.0 - dist
 
-    def estimate_jaccard_dist(self, hA, hB):
-        """Estimate Jaccard distance from two sorted signatures
-        (reference lsh.py:166-215)."""
-        hA_i, hB_i = 0, 0
-        intersect_count = 0
-        union_count = 0
-        while hA_i < len(hA) and hB_i < len(hB):
-            if union_count == self.N:
-                break
-            if hA[hA_i] < hB[hB_i]:
-                hA_i += 1
-                union_count += 1
-            elif hA[hA_i] > hB[hB_i]:
-                hB_i += 1
-                union_count += 1
-            else:
-                intersect_count += 1
-                union_count += 1
-                hA_i += 1
-                hB_i += 1
-        similarity = float(intersect_count) / union_count
-        return 1.0 - similarity
+    def estimate_jaccard_dist(self, sig_a, sig_b):
+        """Estimate Jaccard distance from two sorted signatures.
+
+        The estimator walks the merged multiset of the two signatures
+        in value order, pairing equal values (intersection) and
+        counting everything once (union), stopping after N union
+        elements or when either signature is exhausted; the estimate is
+        1 - |intersection|/|union| over the walked prefix.  Here the
+        walk is evaluated in closed form over value blocks: per
+        distinct value, min(count_a, count_b) paired elements come
+        first, the |count_a - count_b| unpaired ones count only while
+        the other signature still has larger values left, and the
+        N-truncation slices block-wise with pairs consumed first.
+        """
+        a = np.asarray(sig_a, dtype=np.int64)
+        b = np.asarray(sig_b, dtype=np.int64)
+        va, ca = np.unique(a, return_counts=True)
+        vb, cb = np.unique(b, return_counts=True)
+        vals = np.union1d(va, vb)
+        fa = np.zeros(len(vals), dtype=np.int64)
+        fb = np.zeros(len(vals), dtype=np.int64)
+        fa[np.searchsorted(vals, va)] = ca
+        fb[np.searchsorted(vals, vb)] = cb
+        pairs = np.minimum(fa, fb)
+        singles = np.maximum(fa, fb) - pairs
+        # The walk covers value blocks up to the smaller signature
+        # maximum; unpaired elements of one signature count only while
+        # the other side has larger values remaining.
+        lim = min(int(va[-1]), int(vb[-1]))
+        walked = vals <= lim
+        other_max = np.where(fa > fb, int(vb[-1]), int(va[-1]))
+        singles_eff = np.where(walked & (vals < other_max), singles, 0)
+        pairs_eff = np.where(walked, pairs, 0)
+        block = pairs_eff + singles_eff
+        before = np.concatenate(([0], np.cumsum(block)[:-1]))
+        room = np.clip(self.N - before, 0, None)
+        intersect_count = int(np.minimum(pairs_eff, room).sum())
+        union_count = int(np.minimum(block, room).sum())
+        return 1.0 - float(intersect_count) / union_count
 
 
 class HashConcatenation:

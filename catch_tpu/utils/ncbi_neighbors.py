@@ -8,6 +8,9 @@ influenza FTP databases (taxids 11320/11520/11552, with year sanity
 checks), rate-limited batched efetch FASTA downloads into a tempfile,
 and the ``construct_fasta_for_taxid`` facade.  Module-global
 ``ncbi_api_key`` raises the request rate.
+
+The protocol surface (URLs, column layouts, rate limits) is fixed by
+NCBI; everything else here is this package's own.
 """
 
 import datetime
@@ -23,38 +26,33 @@ import urllib.request
 
 logger = logging.getLogger(__name__)
 
-# Global variable for API key (set by CLI --ncbi-api-key)
+# Set by the CLI's --ncbi-api-key; raises e-utils rate limits.
 ncbi_api_key = None
 
 
 def urlopen_with_tries(url, initial_wait=5, rand_wait_range=(1, 60),
                        max_num_tries=5):
-    """Open a URL with retries: exponential backoff plus a random wait
-    (helps desynchronize parallel callers hitting NCBI's rate cap)."""
-    num_tries = 0
-    while num_tries < max_num_tries:
+    """urlopen with retries: wait doubles per attempt, plus a random
+    component so concurrent runs drift apart instead of hammering
+    NCBI's rate limiter in lockstep."""
+    for attempt in range(1, max_num_tries + 1):
         try:
-            num_tries += 1
-            logger.debug("Making request to open url: %s", url)
+            logger.debug("GET %s (attempt %d)", url, attempt)
             return urllib.request.urlopen(url)
         except urllib.error.HTTPError as e:
-            if num_tries == max_num_tries:
+            if attempt == max_num_tries:
                 logger.critical(
-                    "Encountered HTTPError %d times (the maximum "
-                    "allowed) when opening url: %s; error: %s",
-                    num_tries, url, e)
+                    "Giving up on %s after %d HTTP failures (last: %s)",
+                    url, attempt, e)
                 raise
-            wait = initial_wait * 2 ** (num_tries - 1)
-            rand_wait = random.randint(*rand_wait_range)
-            total_wait = wait + rand_wait
+            pause = (initial_wait << (attempt - 1)) \
+                + random.randint(*rand_wait_range)
             logger.info(
-                "Encountered HTTPError when opening url; sleeping for "
-                "%d seconds, and then trying again (try %d of %d); "
-                "error: %s", total_wait, num_tries, max_num_tries, e)
-            time.sleep(total_wait)
+                "HTTP error from NCBI (%s); retrying in %d s "
+                "(attempt %d/%d)", e, pause, attempt, max_num_tries)
+            time.sleep(pause)
         except Exception:
-            logger.critical(
-                "Encountered unexpected error while opening url: %s", url)
+            logger.critical("Non-HTTP failure while fetching %s", url)
             raise
 
 
@@ -69,13 +67,12 @@ def ncbi_neighbors_url(taxid):
 
 def fetch_neighbors_table(taxid):
     """Yield non-empty lines of the neighbors table for a taxid."""
-    logger.debug("Fetching table of neighbors for tax %d", taxid)
-    r = urlopen_with_tries(ncbi_neighbors_url(taxid))
-    raw_data = r.read()
-    for line in raw_data.decode("utf-8").split("\n"):
-        line_rstrip = line.rstrip()
-        if line_rstrip != "":
-            yield line_rstrip
+    logger.debug("Downloading neighbors table, taxid %d", taxid)
+    resp = urlopen_with_tries(ncbi_neighbors_url(taxid))
+    for line in resp.read().decode("utf-8").split("\n"):
+        stripped = line.rstrip()
+        if stripped:
+            yield stripped
 
 
 def ncbi_influenza_genomes_url(database="genomeset"):
@@ -86,52 +83,50 @@ def ncbi_influenza_genomes_url(database="genomeset"):
 
 
 def fetch_influenza_genomes_table(species_name, database):
-    """Yield lines of the influenza genome table containing
-    species_name (case-insensitive)."""
-    logger.debug("Fetching table of influenza genomes for species %s",
+    """Yield table lines mentioning species_name (case-insensitive)."""
+    logger.debug("Downloading influenza genome table for %s",
                  species_name)
-    species_name_lower = species_name.lower()
-    r = urlopen_with_tries(ncbi_influenza_genomes_url(database))
-    raw_data = gzip.GzipFile(fileobj=r).read()
-    for line in raw_data.decode("utf-8").split("\n"):
-        line_rstrip = line.rstrip()
-        if line_rstrip != "" and species_name_lower in line_rstrip.lower():
-            yield line_rstrip
+    needle = species_name.lower()
+    resp = urlopen_with_tries(ncbi_influenza_genomes_url(database))
+    payload = gzip.GzipFile(fileobj=resp).read()
+    for line in payload.decode("utf-8").split("\n"):
+        stripped = line.rstrip()
+        if stripped and needle in stripped.lower():
+            yield stripped
 
 
 def ncbi_fasta_download_url(accessions):
     """efetch URL for a batch of accessions."""
-    ids = ",".join(accessions)
-    params = {"id": ids, "db": "nuccore", "rettype": "fasta",
-              "retmode": "text"}
+    params = {"id": ",".join(accessions), "db": "nuccore",
+              "rettype": "fasta", "retmode": "text"}
     if ncbi_api_key is not None:
         params["api_key"] = ncbi_api_key
-    params_url = urllib.parse.urlencode(params, safe=",")
     return ("https://eutils.ncbi.nlm.nih.gov/entrez/eutils/efetch.fcgi?%s"
-            % params_url)
+            % urllib.parse.urlencode(params, safe=","))
 
 
 def fetch_fastas(accessions, batch_size=100, reqs_per_sec=2):
-    """Download sequences for accessions into a tempfile, batched and
-    rate-limited (2 req/s; 7 with an API key)."""
-    logger.debug("Fetching fasta files for %d accessions",
-                 len(accessions))
+    """Download sequences into a tempfile, batched + rate-limited.
+
+    NCBI allows 2 requests/s anonymously and ~10/s with an API key (7
+    used here for margin); accessions are fetched 100 per request.
+    """
+    logger.debug("Downloading FASTA for %d accessions", len(accessions))
     if ncbi_api_key is not None:
         reqs_per_sec = 7
-    fp = tempfile.NamedTemporaryFile()
-    for i in range(0, len(accessions), batch_size):
-        batch = accessions[i:i + batch_size]
-        r = urlopen_with_tries(ncbi_fasta_download_url(batch))
-        raw_data = r.read()
-        for line in raw_data.decode("utf-8").split("\n"):
-            fp.write((line + "\n").encode())
+    out = tempfile.NamedTemporaryFile()
+    for lo in range(0, len(accessions), batch_size):
+        resp = urlopen_with_tries(
+            ncbi_fasta_download_url(accessions[lo:lo + batch_size]))
+        for line in resp.read().decode("utf-8").split("\n"):
+            out.write((line + "\n").encode())
         time.sleep(1.0 / reqs_per_sec)
-    fp.seek(0)
-    return fp
+    out.seek(0)
+    return out
 
 
 class Neighbor:
-    """Immutable representation of a genome neighbor."""
+    """Immutable record of one genome neighbor."""
 
     def __init__(self, acc, refseq_acc, hosts, lineage, tax_name, segment,
                  metadata={}):
@@ -143,7 +138,7 @@ class Neighbor:
         self.segment = segment
         self.metadata = metadata
 
-    def _list_of_attrs(self):
+    def _fields(self):
         return [self.refseq_acc, self.hosts, self.lineage, self.tax_name,
                 self.segment, self.metadata]
 
@@ -157,50 +152,48 @@ class Neighbor:
                 and self.metadata == other.metadata)
 
     def __repr__(self):
-        return ";".join('"' + str(s) + '"'
-                        for s in [self.acc] + self._list_of_attrs())
+        return ";".join('"' + str(f) + '"'
+                        for f in [self.acc] + self._fields())
 
     def __str__(self):
         return self.acc + " : " + ", ".join(
-            '"' + str(s) + '"' for s in self._list_of_attrs())
+            '"' + str(f) + '"' for f in self._fields())
+
+
+# Column layout of the neighbors table (fixed by NCBI; validated
+# against the "## Columns:" header line of each download).
+_NEIGHBOR_COLUMNS = ["Representative", "Neighbor", "Host",
+                     "Selected lineage", "Taxonomy name", "Segment name"]
 
 
 def construct_neighbors(taxid):
     """Neighbor objects for all neighbors of a taxid."""
-    logger.info("Constructing a list of neighbors for taxid %d", taxid)
-
-    expected_col_order = ["Representative", "Neighbor", "Host",
-                          "Selected lineage", "Taxonomy name",
-                          "Segment name"]
+    logger.info("Building neighbor list for taxid %d", taxid)
     neighbors = []
-    encountered_header = False
+    saw_header = False
     for line in fetch_neighbors_table(taxid):
-        if len(line.strip()) == 0:
+        if not line.strip():
             continue
-        ls = line.split("\t")
+        cells = line.split("\t")
         if line.startswith("##"):
-            encountered_header = True
+            saw_header = True
             if line.startswith("## Columns:"):
-                col_names = [n.replace('"', "") for n in ls[1:]]
-                if expected_col_order != col_names:
+                names = [c.replace('"', "") for c in cells[1:]]
+                if names != _NEIGHBOR_COLUMNS:
                     raise Exception(
-                        "The order of columns in the neighbor list does "
-                        "not match the expected order")
+                        "Unexpected column layout in the NCBI neighbors "
+                        "table: %r" % names)
             continue
-        if not encountered_header:
+        if not saw_header:
             logger.critical(
-                "Neighbors table for taxid %s did not contain the "
-                "expected header; it is possible that this is not a "
-                "valid species ID", taxid)
-
-        refseq_acc = ls[0]
-        acc = ls[1]
-        hosts = ls[2].split(",")
-        lineage = tuple(ls[3].split(","))
-        tax_name = ls[4]
-        segment = ls[5].replace("segment", "").strip()
-        neighbors.append(
-            Neighbor(acc, refseq_acc, hosts, lineage, tax_name, segment))
+                "No header found in the neighbors table for taxid %s — "
+                "this may not be a valid species-level taxid", taxid)
+        neighbors.append(Neighbor(
+            acc=cells[1], refseq_acc=cells[0],
+            hosts=cells[2].split(","),
+            lineage=tuple(cells[3].split(",")),
+            tax_name=cells[4],
+            segment=cells[5].replace("segment", "").strip()))
     return neighbors
 
 
@@ -218,48 +211,40 @@ _INFLUENZA_LINEAGES = {
 
 
 def construct_influenza_genome_neighbors(taxid):
-    """Neighbor objects for influenza genomes (separate NCBI FTP DB;
-    genomeset for A/B, influenza_na for C; year sanity checks)."""
-    logger.info("Constructing a list of neighbors for influenza species "
-                "with tax %d", taxid)
+    """Neighbor objects for influenza genomes.
+
+    Influenza is not in the neighbors CGI; its genomes come from the
+    dedicated FTP dumps (genomeset for A/B, influenza_na for C).
+    Records whose collection date parses to a future year are dropped
+    as typos.
+    """
+    logger.info("Building influenza neighbor list for taxid %d", taxid)
     if taxid not in _INFLUENZA_SPECIES:
         raise ValueError(
             "Taxid (%d) must be for either influenza A or influenza B "
             "virus species" % taxid)
-    species_name = _INFLUENZA_SPECIES[taxid]
+    species = _INFLUENZA_SPECIES[taxid]
     lineage = _INFLUENZA_LINEAGES[taxid]
-
-    year_p = re.compile("([1-2][0-9]{3})")
-    curr_year = int(datetime.datetime.now().year)
-
     database = "genomeset" if taxid in (11320, 11520) else "influenza_na"
+    year_re = re.compile("([1-2][0-9]{3})")
+    this_year = int(datetime.datetime.now().year)
 
     neighbors = []
-    for line in fetch_influenza_genomes_table(species_name, database):
-        if len(line.strip()) == 0:
+    for line in fetch_influenza_genomes_table(species, database):
+        if not line.strip():
             continue
-        ls = line.split("\t")
-        acc = ls[0]
-        hosts = [ls[1]]
-        segment = ls[2]
-        subtype = ls[3]
-        country = ls[4]
-        date = ls[5]
-        seq_len = int(ls[6])
-        name = ls[7]
-
-        year_m = year_p.search(date)
-        if year_m is None:
+        cells = line.split("\t")
+        m = year_re.search(cells[5])
+        if m is None:
             continue
-        year = int(year_m.group(1))
-        if year > curr_year:
-            # A year in the future is probably a typo
+        year = int(m.group(1))
+        if year > this_year:
             continue
-
-        metadata = {"subtype": subtype, "country": country, "year": year,
-                    "seq_len": seq_len}
-        neighbors.append(Neighbor(acc, None, hosts, lineage, name,
-                                  segment, metadata=metadata))
+        neighbors.append(Neighbor(
+            acc=cells[0], refseq_acc=None, hosts=[cells[1]],
+            lineage=lineage, tax_name=cells[7], segment=cells[2],
+            metadata={"subtype": cells[3], "country": cells[4],
+                      "year": year, "seq_len": int(cells[6])}))
     return neighbors
 
 
@@ -279,29 +264,26 @@ def construct_fasta_for_taxid(taxid, segment=None,
                 "'%s' is not a valid NCBI taxonomic ID; it must be an "
                 "integer" % taxid) from error
 
-    if segment is None:
-        logger.info("Creating a FASTA file for taxid %d", taxid)
-    else:
-        logger.info("Creating a FASTA file for taxid %d, segment %s",
-                    taxid, segment)
+    logger.info("Assembling FASTA for taxid %d%s", taxid,
+                "" if segment is None else (", segment %s" % segment))
 
     if taxid in influenza_species:
         neighbors = construct_influenza_genome_neighbors(taxid)
     else:
         neighbors = construct_neighbors(taxid)
-    if len(neighbors) == 0:
+    if not neighbors:
         raise Exception("No neighbors were found for taxid %d" % taxid)
 
     if segment is not None:
         neighbors = [n for n in neighbors if n.segment == segment]
-        if len(neighbors) == 0:
+        if not neighbors:
             raise Exception(
                 "After filtering for segment '%s', no neighbors are "
                 "left for taxid %d" % (segment, taxid))
 
     unique_acc = set(n.acc for n in neighbors)
-    logger.info("There are %d neighbors, %d of which have unique "
-                "accessions", len(neighbors), len(unique_acc))
+    logger.info("%d neighbors (%d unique accessions)", len(neighbors),
+                len(unique_acc))
 
     if write_to is not None:
         with open(write_to, "w") as fw:
