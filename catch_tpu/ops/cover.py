@@ -1,19 +1,21 @@
-"""TPU-native probe cover engine ("the forward pass").
+"""Probe cover engine ("the forward pass") — host paths.
 
 Replaces the reference's hash-map seeding + per-candidate anchored-LCS
 scan (/root/reference/catch/probe.py:356-1271 and
 /root/reference/catch/utils/longest_common_substring.py:59-158) with a
-two-phase dense design:
+two-phase design.  This module holds the per-sequence host
+implementation (the oracle for tiny workloads, custom models, and
+fallback); ops/scan_sparse batches phase 2 on device, and
+ops/scan_instance runs the entire scan device-resident for the design
+pipeline.
 
-Phase 1 (device, MXU): for a tile of (alignment x probe) pairs, compute
-the number of matching bases between each probe and the target sequence
-at each alignment via a one-hot einsum ('wla,pla->wp').  A pair is a
-*candidate* iff its match count is >= max(thres' - mismatches, k_seed)
-and its overlap admits a window of length thres' (necessary conditions
-for any qualifying window).  Candidates are extracted on device with a
-static-size nonzero and streamed to the host.
+Phase 1 (seeding): an exact k-mer join of the sequence against a table
+of probe k-mers (minimizer-sampled on the host path) yields candidate
+(probe, alignment) pairs; a pair survives iff its overlap admits a
+window of length thres' (necessary conditions for any qualifying
+window).
 
-Phase 2 (host, vectorized numpy): for each candidate alignment, build
+Phase 2 (verification, vectorized): for each candidate alignment, build
 the exact match vector and enumerate all *maximal* windows with
 <= mismatches mismatches: with sentinel-padded sorted mismatch
 positions P (P[0] = -1, P[nm+1] = ov), maximal windows are
@@ -56,12 +58,6 @@ __all__ = [
     "CoverModel", "ProbeSearcher", "choose_seed_length",
     "probe_covers_sequence_by_longest_common_substring",
 ]
-
-# Tile shapes (static; tuned for ~16 GB HBM v5e).  An (NA_BLK x P_BLK)
-# f32 count tile is 256 MB.
-NA_BLK = 16384
-P_BLK = 4096
-_CAP_START = 1 << 15
 
 # Rolling-hash multiplier for k-mer seed codes (odd 64-bit; golden
 # ratio).  Collisions only add phase-2 work, never wrong output.
@@ -146,46 +142,6 @@ def probe_covers_sequence_by_longest_common_substring(
     return lcf
 
 
-@functools.partial(
-    jax.jit, static_argnames=("A", "Lmax", "na_blk", "cap"))
-def _phase1_tile(seq_padded, n, a0, probe_codes, probe_lens,
-                 lcf, K, k_seed, *, A, Lmax, na_blk, cap):
-    """Match-count a tile of alignments x probes; extract candidates.
-
-    seq_padded: (n_pad + 2*Lmax,) uint8 codes, PAD(0) outside [Lmax, Lmax+n)
-    n: actual sequence length (device scalar)
-    a0: first alignment of this tile (alignment a: probe pos 0 at seq pos a)
-    probe_codes: (P_blk, Lmax) uint8
-    probe_lens: (P_blk,) int32
-    lcf, K, k_seed: model scalars (device; K < 0 means "custom model",
-        for which the prefilter is counts >= k_seed alone)
-
-    Returns (w_idx, p_idx, count): candidate tile coordinates (first
-    `count` entries valid) and the true candidate count (for cap
-    escalation on overflow).
-    """
-    a = a0 + jnp.arange(na_blk, dtype=jnp.int32)
-    j = jnp.arange(Lmax, dtype=jnp.int32)
-    win = seq_padded[a[:, None] + j[None, :] + Lmax]          # (NA, Lmax)
-    win_oh = jax.nn.one_hot(win.astype(jnp.int32) - 1, A, dtype=jnp.bfloat16)
-    probes_oh = jax.nn.one_hot(
-        probe_codes.astype(jnp.int32) - 1, A, dtype=jnp.bfloat16)
-    counts = jnp.einsum("wla,pla->wp", win_oh, probes_oh,
-                        preferred_element_type=jnp.float32)
-    counts = counts.astype(jnp.int32)                          # (NA, P)
-
-    lens = probe_lens[None, :]
-    ov = (jnp.minimum(n, a[:, None] + lens) - jnp.maximum(0, a[:, None]))
-    ov = jnp.maximum(ov, 0)
-    thres = jnp.minimum(jnp.minimum(lcf, lens), n)
-    need = jnp.where(K < 0, k_seed, jnp.maximum(thres - K, k_seed))
-    cand = ((ov >= jnp.maximum(thres, k_seed)) & (counts >= need)
-            & (lens > 0) & (thres > 0))
-    count = jnp.sum(cand, dtype=jnp.int32)
-    w_idx, p_idx = jnp.nonzero(cand, size=cap, fill_value=0)
-    return w_idx, p_idx, count
-
-
 class ProbeSearcher:
     """Finds cover ranges of a fixed probe set in target sequences.
 
@@ -256,20 +212,6 @@ class ProbeSearcher:
             and (self.seed_mode == "pigeonhole"
                  or (m is not None and m == 0)))
 
-        # Probe blocks on device, padded to a power-of-two block size
-        # (adaptive: tiny probe sets compile tiny kernels)
-        self.p_blk = min(encode.next_pow2(len(self.probes)), P_BLK)
-        nblocks = (len(self.probes) + self.p_blk - 1) // self.p_blk
-        self._blocks = []
-        for b in range(nblocks):
-            lo = b * self.p_blk
-            hi = min((b + 1) * self.p_blk, len(self.probes))
-            codes = np.zeros((self.p_blk, self.Lmax), dtype=np.uint8)
-            codes[:hi - lo] = self.probe_codes[lo:hi]
-            lens_blk = np.zeros((self.p_blk,), dtype=np.int32)
-            lens_blk[:hi - lo] = self.probe_lens[lo:hi]
-            self._blocks.append(
-                (lo, jax.device_put(codes), jax.device_put(lens_blk)))
 
     # ------------------------------------------------------------------
     # Phase 1 driver
@@ -316,16 +258,15 @@ class ProbeSearcher:
     # Phase 1 via exact k-mer seed join (the scalable path)
     # ------------------------------------------------------------------
     #
-    # Exhaustive seeding without the dense (alignment x probe) scan:
+    # Exhaustive seeding without an (alignment x probe) dense scan:
     # hash every k_seed-mer of every probe (all offsets) into one sorted
     # table, hash the sequence's k-mers, and join.  Any qualifying cover
     # must contain a run of >= k_seed consecutive matches (the engine's
     # seed requirement, see module docstring), i.e. an exact shared
-    # k-mer, so the join finds exactly the candidates the dense scan
-    # admits to phase 2 (minus pairs with no exact seed, which phase 2
-    # rejects anyway).  The sparse phase-1 predicate (overlap + match
-    # count) is then evaluated only on joined pairs, making the final
-    # covers identical to the dense path in every mode.
+    # k-mer, so the join finds every candidate pair phase 2 could
+    # accept (plus pairs with no qualifying window, which it rejects).
+    # The sparse phase-1 predicate (overlap + match count) is then
+    # evaluated only on joined pairs.
     #
     # This is the TPU-era replacement of the reference's k-mer hash map
     # (/root/reference/catch/probe.py:356-577): deterministic and
@@ -477,7 +418,7 @@ class ProbeSearcher:
         p, a = self._join_pairs(seq_codes)
         if len(p) == 0:
             return empty
-        # Sparse phase-1 predicate (same as the dense tile's `cand`)
+        # Sparse phase-1 predicate
         lens = self.probe_lens[p].astype(np.int64)
         ov = np.minimum(n, a + lens) - np.maximum(0, a)
         thres = np.minimum(np.minimum(self.lcf_static, lens), n)
@@ -527,43 +468,7 @@ class ProbeSearcher:
         if (n + self.Lmax - 1) * len(self.probes) * self.Lmax \
                 <= self._HOST_PHASE1_MAX_CELLS:
             return self._candidates_host(seq_codes)
-        if os.environ.get("CATCH_TPU_PHASE1", "join") != "einsum":
-            return self._candidates_join(seq_codes)
-        n_pad = encode.next_pow2(max(n, 1))
-        padded = np.zeros(n_pad + 2 * self.Lmax, dtype=np.uint8)
-        padded[self.Lmax:self.Lmax + n] = seq_codes
-        seq_dev = jax.device_put(padded)
-        n_dev = jnp.int32(n)
-
-        num_align = n + self.Lmax - 1
-        na_blk = min(encode.next_pow2(num_align), NA_BLK)
-        all_p, all_a = [], []
-        for a0 in range(-(self.Lmax - 1), num_align - (self.Lmax - 1),
-                        na_blk):
-            for (lo, codes_dev, lens_dev) in self._blocks:
-                cap = min(_CAP_START, na_blk * self.p_blk)
-                K_dev = -1 if self.K_static is None else self.K_static
-                while True:
-                    w_idx, p_idx, count = _phase1_tile(
-                        seq_dev, n_dev, jnp.int32(a0), codes_dev, lens_dev,
-                        jnp.int32(self.lcf_static), jnp.int32(K_dev),
-                        jnp.int32(self.k_seed),
-                        A=self.alphabet.size, Lmax=self.Lmax,
-                        na_blk=na_blk, cap=cap)
-                    count = int(count)
-                    if count <= cap:
-                        break
-                    cap = encode.next_pow2(count)
-                if count == 0:
-                    continue
-                w = np.asarray(w_idx)[:count]
-                p = np.asarray(p_idx)[:count]
-                all_p.append(p.astype(np.int64) + lo)
-                all_a.append(w.astype(np.int64) + a0)
-        if not all_p:
-            return (np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.int64))
-        return np.concatenate(all_p), np.concatenate(all_a)
+        return self._candidates_join(seq_codes)
 
     # ------------------------------------------------------------------
     # Phase 2: host verification (vectorized numpy)

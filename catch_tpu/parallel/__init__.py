@@ -5,9 +5,9 @@ The reference parallelizes with fork-based process pools on one host
 set_cover_filter.py:848-900, cluster.py:107-194).  Here the equivalents
 are jax.sharding over a Mesh:
 
-- P1 (sequence scan): alignment positions sharded across devices; each
-  device match-counts its alignment block against the (replicated)
-  probe tensor on its MXU (catch_tpu/parallel/cover.py).
+- P1 (sequence scan): candidate (probe, alignment) pairs sharded
+  across devices, each verified against the replicated corpus + probe
+  tensors (catch_tpu/ops/scan_sparse._verify_chunk_sharded).
 - P3 (set cover): candidate sets sharded across devices; each greedy
   iteration computes per-set scores locally and merges the pick with
   psum/pmin collectives (catch_tpu/parallel/set_cover.py).
@@ -22,5 +22,4 @@ run with DCN carrying only per-iteration scalars.
 
 from catch_tpu.parallel.mesh import make_mesh
 from catch_tpu.parallel.set_cover import solve_instance_sharded
-from catch_tpu.parallel.cover import sharded_match_counts
 from catch_tpu.parallel.distributed import maybe_initialize

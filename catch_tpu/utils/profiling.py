@@ -29,19 +29,23 @@ def enable_compilation_cache(path=None):
     which must stay side-effect free).  Opt out with
     CATCH_TPU_NO_COMPILE_CACHE=1.
     """
-    if os.environ.get("CATCH_TPU_NO_COMPILE_CACHE"):
+    if os.environ.get("CATCH_TPU_NO_COMPILE_CACHE") \
+            or os.environ.get("CATCH_TPU_NO_XLA_CACHE"):
         return
     if path is None:
+        # Same location the package __init__ configures at import, so
+        # every entry point shares one cache.
         path = os.environ.get(
-            "CATCH_TPU_COMPILE_CACHE",
+            "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache",
-                         "catch_tpu_xla"))
+                         "catch_tpu", "xla"))
     try:
         import jax
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         logger.exception("Could not enable the persistent compilation "
                          "cache; continuing without it")

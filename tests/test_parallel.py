@@ -13,9 +13,8 @@ import pytest
 
 import jax
 
-from catch_tpu.ops import encode, set_cover
-from catch_tpu.parallel import (make_mesh, sharded_match_counts,
-                                solve_instance_sharded)
+from catch_tpu.ops import set_cover
+from catch_tpu.parallel import make_mesh, solve_instance_sharded
 
 
 def _random_instance(rng, n_sets=40, n_universes=4, u_size=200):
@@ -66,37 +65,6 @@ def test_sharded_set_cover_ranks_tiering():
     got = solve_instance_sharded(inst, mesh=make_mesh(4))
     chosen = {set_ids[i] for i in got.tolist()}
     assert chosen == {0, 1}
-
-
-@pytest.mark.parametrize("n_devices", [1, 2, 8])
-def test_sharded_match_counts(n_devices):
-    rng = np.random.RandomState(7)
-    seq = "".join(rng.choice(list("ACGT"), size=301))
-    probes = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(9)]
-    probes.append(seq[50:90])  # guaranteed exact hit
-
-    alpha = encode.make_alphabet(
-        [encode.encode_bytes(s) for s in probes + [seq]])
-    seq_codes = alpha.encode(encode.encode_bytes(seq))
-    probe_codes = encode.pad_and_stack(
-        [alpha.encode(encode.encode_bytes(p)) for p in probes])
-
-    counts = sharded_match_counts(seq_codes, probe_codes,
-                                  make_mesh(n_devices))
-    L = probe_codes.shape[1]
-    n = len(seq)
-    assert counts.shape == (n + L - 1, len(probes))
-    # Exact-hit probe: alignment a=50 -> row 50 + L - 1
-    assert counts[50 + L - 1, len(probes) - 1] == 40
-
-    # Host oracle on a few alignments
-    for a in [-20, 0, 50, 123, n - 10]:
-        r = a + L - 1
-        for p_i, p in enumerate(probes):
-            expect = sum(
-                1 for j in range(len(p))
-                if 0 <= a + j < n and seq[a + j] == p[j])
-            assert counts[r, p_i] == expect, (a, p_i)
 
 
 def test_make_mesh_too_many_devices():
