@@ -524,6 +524,18 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
                   n_samples, kj, s, L, K, k_seed, seed_req, nU,
                   cover_extension, universe_p, rank_idx_cand,
                   n_rank_vals, cost_cand):
+    import time as _time
+
+    # Wall-clock per phase, measured at each phase's blocking readback
+    # (dispatches are asynchronous, so a phase's time includes device
+    # execution of work queued in it).  Feeds bench.py's breakdown.
+    phases = searcher.stats.setdefault("phase_seconds", {})
+
+    def _mark(key, t0):
+        phases[key] = phases.get(key, 0.0) + (_time.time() - t0)
+        return _time.time()
+
+    t0 = _time.time()
     P = len(searcher.probes)
     # Stage T
     W_probe = max(L - kj + 1, 1)
@@ -541,6 +553,7 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
             mega_dev, jnp.int32(g0), jnp.int32(n_last), tbl_h,
             kj=kj, s=s, Q=slab_q)
         slabs.append((g0, lo, cnt, csum))
+    t0 = _mark("table_and_hash", t0)
 
     # Stage B: expansion subranges with <= _T_SLAB hits each
     pair_bufs = []   # (p_c, a_c, n) device buffers + host count
@@ -586,6 +599,7 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
                 pair_bufs.append((p_c, a_c, n))
                 n_candidates += n
     searcher.stats["candidates"] += n_candidates
+    t0 = _mark("join_expand", t0)
     if not pair_bufs:
         return None
 
@@ -644,6 +658,7 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
             if len(chunk_accum) == _BATCH_CHUNKS:
                 flush_batch()
     flush_batch()
+    t0 = _mark("verify", t0)
     if not merged_bufs:
         return None
 
@@ -663,6 +678,7 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
     OUT = mk.shape[0]
     mk, ms, me, n_runs = _merge_jit(mk[None], ms[None], me[None], OUT=OUT)
     n_merged = int(n_runs)
+    t0 = _mark("merge", t0)
     if n_merged == 0:
         return None
 
@@ -712,6 +728,7 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
     u_size_pad = np.zeros(nU_pad, dtype=np.int32)
     u_size_pad[:nU] = u_size
 
+    _mark("assemble", t0)
     dev = dict(
         ivl_start=gs, ivl_end=ge, pair_bounds=pb, set_bounds=set_bounds,
         univ_of_pair=univ_of_pair, cost=jnp.asarray(cost_perm),
