@@ -5,6 +5,7 @@ driven by the real published probe-count grids in tests/data.
 """
 
 import logging
+import os
 import pathlib
 
 import numpy as np
@@ -179,3 +180,48 @@ class TestPoolProbesIO:
         with pytest.raises(Exception):
             pool_probes_io.read_table_of_dataset_weights(
                 str(wf), ["d1", "d2"])
+
+
+class TestVAllGrid:
+    """The V-All 2016-06 grid (10,657 computed design points, 296
+    datasets) — BASELINE config #5 (the reference's V-All.350k panel
+    reproduction).  The full-grid barrier search runs tens of minutes
+    (296 datasets x 592 parameters through fmin_tnc), so the default
+    suite exercises a 60-dataset slice of the real grid at a
+    proportional budget; the published 350k full-grid run is opt-in
+    via CATCH_TPU_SLOW_TESTS=1."""
+
+    @pytest.fixture(scope="class")
+    def vall(self):
+        return pool_probes_io.read_table_of_probe_counts(
+            str(DATA / "num-probes.V-All.201606.tsv"))
+
+    def _check(self, probe_counts, budget):
+        np.random.seed(1)  # the initial guess is random; pin it
+        opt_params, count, loss = param_search.standard_search(
+            probe_counts, budget)
+        assert count <= budget
+        assert count > 0.8 * budget
+        assert np.isfinite(loss)
+        assert len(opt_params) == len(probe_counts)
+        # Every chosen point is integral (round multiples of 1)
+        for dataset, (m, ce) in opt_params.items():
+            assert m == int(m) and ce == int(ce)
+        # A budget this tight must force loosened parameters somewhere
+        assert sum(1 for (m, ce) in opt_params.values() if m > 0) > 0
+
+    def test_standard_search_vall_subset(self, vall):
+        _, probe_counts = vall
+        subset_names = sorted(probe_counts.keys())[::5][:60]
+        subset = {d: probe_counts[d] for d in subset_names}
+        # Proportional share of the published 350k budget
+        frac = len(subset) / len(probe_counts)
+        self._check(subset, int(350000 * frac))
+
+    @pytest.mark.skipif(
+        not os.environ.get("CATCH_TPU_SLOW_TESTS"),
+        reason="full 296-dataset V-All search takes tens of minutes; "
+               "opt in with CATCH_TPU_SLOW_TESTS=1")
+    def test_standard_search_vall_350k_full(self, vall):
+        _, probe_counts = vall
+        self._check(probe_counts, 350000)

@@ -385,3 +385,51 @@ class TestSetCoverFilter:
         f = SetCoverFilter(0, 0)
         assert f._filter([[]], tg) == [[]]
         assert f.filter([[]], tg, input_is_grouped=True) == [[]]
+
+
+class TestAvoidedGenomesBatched:
+    """The avoided-genome rank scan streams through the batched corpus
+    path in bounded batches; splitting the stream must not change
+    ranks or output (reference set_cover_filter.py:580-612)."""
+
+    def test_batch_split_invariance(self, tmp_path):
+        import numpy as np
+
+        from catch_tpu.filters.duplicate import DuplicateFilter
+        from catch_tpu.filters.candidates import (
+            make_candidate_probes_from_sequences)
+
+        rng = np.random.default_rng(11)
+        bases = np.array(list("ACGT"))
+        target = "".join(rng.choice(bases, size=3000))
+        genomes = [Genome.from_one_seq(target)]
+        # Avoided background: several sequences, some sharing stretches
+        # of the target so a few probes earn a nonzero avoided rank
+        avoided = tmp_path / "avoid.fasta"
+        with open(avoided, "w") as f:
+            for i in range(12):
+                if i % 3 == 0:
+                    lo = rng.integers(0, len(target) - 400)
+                    s = target[lo:lo + 400]
+                else:
+                    s = "".join(rng.choice(bases, size=500))
+                f.write(f">bg{i}\n{s}\n")
+
+        probes = DuplicateFilter()._filter(
+            make_candidate_probes_from_sequences(
+                [target], probe_length=80, probe_stride=40))
+
+        def run(batch_bp):
+            scf = SetCoverFilter(
+                mismatches=1, lcf_thres=60,
+                avoided_genomes=[str(avoided)])
+            scf._AVOID_BATCH_BP = batch_bp
+            ranks = scf._make_ranks(probes, [genomes])
+            out = scf.filter([probes], [genomes], input_is_grouped=True)
+            return ranks.tolist(), [p.seq_str for p in out[0]]
+
+        ranks_one, out_one = run(1 << 30)     # single batch
+        ranks_split, out_split = run(600)     # many tiny batches
+        assert ranks_one == ranks_split
+        assert out_one == out_split
+        assert max(ranks_one) > 0, "some probe must hit the background"
