@@ -326,13 +326,19 @@ def _join_corpus(searcher, mega_codes):
         s1 = min(n, s0 + _JOIN_SLAB)
         # Overlap of k_seed codes so every minimizer window *starting*
         # in [s0, s1] is fully contained in some slab (window needs
-        # codes q .. q + w + kj - 2, and kj + w - 1 == k_seed); the
-        # slabbed union of window minima then equals the unslabbed one.
+        # codes q .. q + w + kj - 2, and kj + w - 1 == k_seed).  Window
+        # argmins are window-local decisions, so the union of the
+        # slabs' selections equals the unslabbed selection.  Windows
+        # starting exactly in the overlap [s1, s1 + w) are evaluated by
+        # both this slab and the next; the duplicated selected
+        # positions yield duplicated join hits, which the pair dedup
+        # removes.  (Do NOT mask the overlap positions out instead: a
+        # position in [s1, s1 + w) whose only selecting window starts
+        # before s1 is owned by no later slab, and masking it loses
+        # recall.)
         h, ok = searcher._rolling_hashes(
             mega_codes[None, s0:min(n, s1 + k)], k=kj)
         sel = searcher._minimizer_select(h, ok, w)
-        # Positions owned by this slab (the overlap belongs to the next)
-        sel[0, s1 - s0:] = False
         pos = np.flatnonzero(sel[0])
         pos_parts.append(pos + s0)
         hash_parts.append(h[0][pos])

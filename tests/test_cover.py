@@ -464,3 +464,39 @@ class TestPlantedProbesAtScale(unittest.TestCase):
 
     def test_1600kb(self):
         self._run(seed=12, n=1_600_000, n_probes=45)
+
+
+class TestJoinSlabBoundary:
+    """Slabbing the corpus-wide join must not lose candidate pairs at
+    slab boundaries (a selected position in the overlap whose only
+    selecting window starts in the previous slab is owned by no later
+    slab)."""
+
+    def test_slabbed_join_equals_unslabbed(self, monkeypatch):
+        import numpy as np
+        from catch_tpu.ops import scan_sparse
+        from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+        from catch_tpu.filters.candidates import (
+            make_candidate_probes_from_sequences)
+
+        rng = np.random.default_rng(99)
+        bases = np.array(list("ACGT"))
+        seqs = ["".join(rng.choice(bases, size=3000)) for _ in range(4)]
+        # probes tiled from the sequences so every position joins
+        probes = make_candidate_probes_from_sequences(
+            seqs, probe_length=100, probe_stride=50)
+        searcher = ProbeSearcher(
+            probes, CoverModel(mismatches=2, lcf_thres=60))
+
+        def spans(slab):
+            monkeypatch.setattr(scan_sparse, "_JOIN_SLAB", slab)
+            s = ProbeSearcher(
+                probes, CoverModel(mismatches=2, lcf_thres=60))
+            r = scan_sparse.scan_corpus_sparse(s, seqs)
+            return sorted(zip(*(x.tolist() for x in r)))
+
+        unslabbed = spans(1 << 30)
+        # tiny slabs force many boundaries through every sequence
+        slabbed = spans(997)
+        assert slabbed == unslabbed
+        assert len(unslabbed) > 0
