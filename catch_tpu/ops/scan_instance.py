@@ -128,15 +128,19 @@ def _build_table_jit(codes_perm, *, kj, TBL):
 # Stage A: sampled query hashes + table lookup
 # ----------------------------------------------------------------------
 
+# Stage A is two jits (sampled hashing, then table lookup): fusing
+# them into one program made XLA:TPU compilation pathological (342 s
+# vs ~10 s split, measured on a v5e backend at Q=2^22); the extra
+# dispatch is noise.
+
 @functools.partial(jax.jit, static_argnames=("kj", "s", "Q"))
-def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
-    """Hit counts for query samples g0 .. g0+Q-1 (sample g = position
-    g*s).
+def _hash_samples_jit(mega, g0, n_last, *, kj, s, Q):
+    """Clamped hashes of query samples g0 .. g0+Q-1 (sample g =
+    position g*s); invalid samples (PAD in the window or past n_last)
+    carry the sentinel HMAX.
 
     mega: uint8 corpus codes (0 = PAD), padded so position
         (g0+Q-1)*s + kj - 1 is readable.
-    n_last: last valid position (inclusive) for a kj-mer start.
-    Returns (lo i32[Q], cnt i32[Q], csum i32[Q]).
     """
     c = jax.lax.dynamic_slice(mega, (g0 * s,), (Q * s + kj - 1,))
     c = c.astype(jnp.uint32)
@@ -149,11 +153,26 @@ def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
     h = jnp.minimum(h, _HMAX - 1)
     g = g0 + jnp.arange(Q, dtype=jnp.int32)
     ok = ok & (g * s <= n_last)
-    q = jnp.where(ok, h, _HMAX)
+    return jnp.where(ok, h, _HMAX)
+
+
+@jax.jit
+def _lookup_jit(tbl_h, q):
+    """Table hit ranges per sample hash: (lo, cnt, csum) i32[Q].
+
+    Sentinel hashes (HMAX) never match (table rows are clamped below
+    HMAX), so their cnt is 0 without extra masking... except that pad
+    rows of the table ARE the sentinel, so mask explicitly.
+    """
     lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(tbl_h, q, side="right").astype(jnp.int32)
-    cnt = jnp.where(ok, hi - lo, 0)
+    cnt = jnp.where(q != _HMAX, hi - lo, 0)
     return lo, cnt, jnp.cumsum(cnt)
+
+
+def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
+    q = _hash_samples_jit(mega, g0, n_last, kj=kj, s=s, Q=Q)
+    return _lookup_jit(tbl_h, q)
 
 
 # ----------------------------------------------------------------------
@@ -328,22 +347,36 @@ def _merge_runs(k, s, e, OUT):
     """Sort spans by (key, start), merge overlapping/touching intervals
     per key, compact into OUT-sized buffers.  Shared by the pair-level
     and universe-level merges and idempotent (re-merging merged output
-    is a no-op), so batches can be merged hierarchically."""
+    is a no-op), so batches can be merged hierarchically.
+
+    The per-group running maximum of interval ends uses an explicit
+    Hillis-Steele doubling loop rather than lax.associative_scan —
+    the generic scan's compile blew past 8 minutes on the TPU backend
+    while this form compiles with the rest of the kernel.  One scan
+    serves both uses: within a key group sorted by start, every row of
+    a later merge-run starts (and therefore ends) above every earlier
+    run's maximum, so the group-prefix max at a run's last row IS that
+    run's merged end.
+    """
     k2, s2, e2 = jax.lax.sort((k, s, e), num_keys=2)
     valid = k2 < _I32MAX
     first = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
+    gid = jnp.cumsum(first.astype(jnp.int32))
 
-    def comb(x, y):
-        f = x[0] | y[0]
-        m = jnp.where(y[0], y[1], jnp.maximum(x[1], y[1]))
-        return (f, m)
+    rmax = e2
+    d = 1
+    while d < OUT:
+        rs = jnp.concatenate([jnp.zeros((d,), rmax.dtype), rmax[:-d]])
+        gs = jnp.concatenate([jnp.full((d,), -1, gid.dtype), gid[:-d]])
+        rmax = jnp.where(gs == gid, jnp.maximum(rmax, rs), rmax)
+        d *= 2
 
-    _, rmax = jax.lax.associative_scan(comb, (first, e2))
-    rmax_prev = jnp.concatenate([jnp.zeros((1,), e2.dtype), rmax[:-1]])
+    rmax_prev = jnp.where(
+        first, jnp.int32(-1),
+        jnp.concatenate([jnp.zeros((1,), rmax.dtype), rmax[:-1]]))
     new_run = (first | (s2 > rmax_prev)) & valid
     run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
     n_runs = jnp.sum(new_run, dtype=jnp.int32)
-    _, rmax2 = jax.lax.associative_scan(comb, (new_run, e2))
     nxt_new = jnp.concatenate([new_run[1:], jnp.ones((1,), bool)])
     nxt_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     is_last = valid & (nxt_new | ~nxt_valid)
@@ -352,7 +385,7 @@ def _merge_runs(k, s, e, OUT):
     out_k = jnp.full((OUT,), _I32MAX, jnp.int32).at[sc_f].set(
         k2, mode="drop")
     out_s = jnp.zeros((OUT,), jnp.int32).at[sc_f].set(s2, mode="drop")
-    out_e = jnp.zeros((OUT,), jnp.int32).at[sc_l].set(rmax2, mode="drop")
+    out_e = jnp.zeros((OUT,), jnp.int32).at[sc_l].set(rmax, mode="drop")
     return out_k, out_s, out_e, n_runs
 
 
