@@ -79,8 +79,12 @@ _I32MAX = np.int32(np.iinfo(np.int32).max)
 
 # Static shapes (power-of-two buckets shared across workloads).
 _SLAB_SAMPLES = 1 << 22     # query samples per stage-A dispatch
-_T_SLAB = 1 << 26           # expanded hits per stage-B dispatch
-_PAIR_CAP = 1 << 23         # deduplicated pairs per stage-B dispatch
+# Hits per stage-B dispatch.  Kept moderate: the XLA:TPU compile of
+# the expansion+sort program scales badly with this shape (measured
+# ~250 s at 2^26 vs tens of seconds at 2^24), and the executable did
+# not persist in the compilation cache across processes.
+_T_SLAB = 1 << 24
+_PAIR_CAP = 1 << 22         # deduplicated pairs per stage-B dispatch
 _C_CHUNK = 1 << 17          # candidates per stage-C dispatch
 _SPAN_CAP = 1 << 18         # span buffer per stage-C dispatch
 _BATCH_CHUNKS = 16          # stage-C buffers merged per D1 dispatch
@@ -289,14 +293,16 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
 
     mism = validj & ~match
     nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
-    rank = jnp.cumsum(mism.astype(jnp.int32), axis=1)
-    idxm = jnp.where(mism, rank, L + K + 2)
-    P = jnp.broadcast_to(ov[:, None], (C, L + K + 2)).astype(jnp.int32)
-    P = P.at[:, 0].set(-1)
-    rows2d = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
-                              (C, L))
-    P = P.at[rows2d, idxm].set(jnp.broadcast_to(jL[None, :], (C, L)),
-                               mode="drop")
+    # Sentinel-padded sorted mismatch positions: P[:, 0] = -1, then the
+    # mismatch positions ascending, then ov.  Built with a row-wise
+    # sort — a 2D scatter here serialized on TPU (~0.5 s per chunk).
+    big = jnp.int32(1 << 30)
+    sv = jnp.sort(jnp.where(mism, jL[None, :], big), axis=1)
+    body = jnp.concatenate(
+        [sv, jnp.full((C, K + 1), big, jnp.int32)], axis=1)[:, :L + K + 1]
+    body = jnp.where(body >= big, ov[:, None], body)
+    P = jnp.concatenate(
+        [jnp.full((C, 1), -1, jnp.int32), body], axis=1)
 
     lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
     runs = P[:, 1:] - P[:, :-1] - 1
@@ -438,8 +444,12 @@ def _assemble_jit(k, s, e, offsets_univ, n_merged, *, OUT, P_CAP, S_pad,
     set_bounds = jnp.searchsorted(
         set_of_pair, jnp.arange(S_pad + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
-    mp = jnp.max(set_bounds[1:] - set_bounds[:-1])
-    ivl_of_set = pb[set_bounds[1:]] - pb[set_bounds[:-1]]
+    # Per-set maxima over REAL sets only (0..S_pad-2): the dummy set
+    # S_pad-1 absorbs every padded pair, and letting its range into
+    # these maxima makes the solver's per-step update loops span the
+    # whole pad region (measured 560 ms/pick instead of ~real work).
+    mp = jnp.max(set_bounds[1:S_pad] - set_bounds[:S_pad - 1])
+    ivl_of_set = pb[set_bounds[1:S_pad]] - pb[set_bounds[:S_pad - 1]]
     mi = jnp.max(ivl_of_set)
     return (gs, ge, pb, set_bounds, univ_of_pair, n_pairs, mp, mi)
 

@@ -100,16 +100,17 @@ def _verify_core(mega, probe_codes_flat, pg, start, poff0, ov, thres,
 
     mism = validj & ~match
     nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
-    # Sentinel-padded mismatch positions by rank-scatter (no sort):
-    # P[c,0] = -1, P[c,1+r] = position of the r-th mismatch, rest = ov.
-    rank = jnp.cumsum(mism.astype(jnp.int32), axis=1)          # 1-based
-    idx = jnp.where(mism, rank, L + K + 2)                     # drop
-    P = jnp.broadcast_to(ov[:, None], (C, L + K + 2)).astype(jnp.int32)
-    P = P.at[:, 0].set(-1)
-    rows2d = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
-                              (C, L))
-    P = P.at[rows2d, idx].set(jnp.broadcast_to(jL[None, :], (C, L)),
-                              mode="drop")
+    # Sentinel-padded sorted mismatch positions: P[c,0] = -1,
+    # P[c,1+r] = position of the r-th mismatch, rest = ov.  Built with
+    # a row-wise sort — the rank-scatter this replaces serialized on
+    # TPU (~0.5 s per chunk for a (C, L) scatter).
+    big = jnp.int32(1 << 30)
+    sv = jnp.sort(jnp.where(mism, jL[None, :], big), axis=1)
+    body = jnp.concatenate(
+        [sv, jnp.full((C, K + 1), big, jnp.int32)], axis=1)[:, :L + K + 1]
+    body = jnp.where(body >= big, ov[:, None], body)
+    P = jnp.concatenate(
+        [jnp.full((C, 1), -1, jnp.int32), body], axis=1)
 
     lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
     runs = P[:, 1:] - P[:, :-1] - 1
