@@ -313,15 +313,30 @@ class SetCoverFilter(BaseFilter):
         dev, perm = r
         t0 = _time.time()
         try:
-            order = set_cover.solve_boundary_instance(dev, len(perm))
+            if os.environ.get("CATCH_TPU_SOLVE") == "device":
+                # All-device greedy: only pick ids leave the device.
+                # Slower per pick than the lazy host solver (each step
+                # rescans the instance), but independent of host
+                # readback bandwidth; kept for validation and for
+                # hosts where the readback would dominate.
+                order = set_cover.solve_boundary_instance(dev, len(perm))
+                chosen = pid_of[perm[order]] if len(order) else \
+                    np.empty(0, dtype=np.int64)
+            else:
+                # Default: one compact readback of the merged instance,
+                # then the lazy-greedy host solver (identical picks).
+                from catch_tpu.ops import scan_instance
+                inst = scan_instance.instance_to_host(
+                    dev, perm, pid_of, len(rank_idx), rank_idx,
+                    len(rank_vals), costs)
+                chosen = set_cover.solve_instance(inst)
         except Exception:
-            logger.exception("Boundary device solve failed; falling "
-                             "back to the host path")
+            logger.exception("Solve on the device instance failed; "
+                             "falling back to the host path")
             return None
         stats["solve_seconds"] += _time.time() - t0
-        stats["set_cover_picks"] += len(order)
-        return pid_of[perm[order]] if len(order) else \
-            np.empty(0, dtype=np.int64)
+        stats["set_cover_picks"] += len(chosen)
+        return np.asarray(chosen, dtype=np.int64)
 
     def _filter(self, input, target_genomes_grouped):
         """Per-group set-cover selection; input is grouped probes."""

@@ -779,8 +779,54 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
         can_uncover=jnp.asarray(can_unc_pad),
         u_size=jnp.asarray(u_size_pad),
         U_pad=_next_pow2(u_len), n_rank_vals=n_rank_vals,
-        max_pairs_per_set=max_pairs, max_ivls_per_set=max_ivls)
+        max_pairs_per_set=max_pairs, max_ivls_per_set=max_ivls,
+        # For the host lazy solver route: the merged universe-local
+        # intervals plus the host-side metadata to rebuild an exact
+        # SetCoverInstance from one compact readback.
+        merged=(mk, ms, me), n_merged=n_merged, offsets=offsets,
+        nU=nU, u_size_host=u_size, can_uncover_host=can_uncover)
     return dev, perm
+
+
+def instance_to_host(dev, perm, pid_of, n_candidates, rank_idx_cand,
+                     n_rank_vals, cost_cand):
+    """Read the merged intervals back and build the exact host
+    SetCoverInstance the host pipeline would have built.
+
+    One compact transfer (3 x int32 x n_merged); set ids are candidate
+    ids (solver order is pid-ascending, so the relabeling preserves the
+    sorted-by-pair invariant the solvers rely on).  The host lazy
+    solver on this instance reproduces the host path bit for bit.
+    """
+    from catch_tpu.ops import set_cover as sc
+
+    mk, ms, me = dev["merged"]
+    n = int(dev["n_merged"])
+    nU = dev["nU"]
+    offsets = dev["offsets"]
+    k = np.asarray(mk[:n]).astype(np.int64)
+    s = np.asarray(ms[:n]).astype(np.int64)
+    e = np.asarray(me[:n]).astype(np.int64)
+    pair_ids, pair_of_ivl = np.unique(k, return_inverse=True)
+    solver_set_of_pair = (pair_ids // nU).astype(np.int64)
+    univ_of_pair = (pair_ids % nU).astype(np.int32)
+    set_of_pair = pid_of[perm[solver_set_of_pair]].astype(np.int32)
+    g_start = s + offsets[k % nU]
+    g_end = e + offsets[k % nU]
+
+    rank_vals_dummy = int(n_rank_vals)
+    cost = np.asarray(cost_cand, dtype=np.float32)
+    rank_idx = np.asarray(rank_idx_cand, dtype=np.int32)
+    return sc.SetCoverInstance(
+        n_sets=n_candidates, n_universes=nU,
+        u_size=dev["u_size_host"],
+        can_uncover=dev["can_uncover_host"],
+        ivl_start=g_start, ivl_end=g_end,
+        pair_of_ivl=pair_of_ivl.astype(np.int32),
+        set_of_pair=set_of_pair, univ_of_pair=univ_of_pair,
+        cost=cost, rank_idx=rank_idx, n_rank_vals=rank_vals_dummy,
+        u_len=int(offsets[-1]),
+        pos_univ_offsets=offsets)
 
 
 def _pad_to(x, width, fill):
