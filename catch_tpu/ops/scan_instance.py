@@ -79,12 +79,16 @@ _I32MAX = np.int32(np.iinfo(np.int32).max)
 
 # Static shapes (power-of-two buckets shared across workloads).
 _SLAB_SAMPLES = 1 << 22     # query samples per stage-A dispatch
-# Hits per stage-B dispatch.  Kept moderate: the XLA:TPU compile of
-# the expansion+sort program scales badly with this shape (measured
-# ~250 s at 2^26 vs tens of seconds at 2^24), and the executable did
-# not persist in the compilation cache across processes.
-_T_SLAB = 1 << 24
-_PAIR_CAP = 1 << 22         # deduplicated pairs per stage-B dispatch
+# Hits per stage-B dispatch.  Kept small: TPU compilation of the
+# expansion+sort program scales badly with the sort width (measured
+# ~250 s at 2^24-2^26 on every process start — the program re-enters
+# server-side compilation at executable load — vs seconds at the
+# 2^22 width the merge kernels also use).  More, smaller dispatches
+# cost only a scalar readback each.
+_T_SLAB = 1 << 22
+# Deduplicated pairs per stage-B dispatch; equal to _T_SLAB so the
+# compaction can never overflow (pairs <= hits).
+_PAIR_CAP = 1 << 22
 _C_CHUNK = 1 << 17          # candidates per stage-C dispatch
 _SPAN_CAP = 1 << 18         # span buffer per stage-C dispatch
 _BATCH_CHUNKS = 16          # stage-C buffers merged per D1 dispatch
