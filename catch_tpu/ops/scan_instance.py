@@ -18,8 +18,8 @@ Stages (all jitted, all state device-resident):
      in the table with a vectorized binary search, emit per-sample hit
      counts.  Slabbed over the corpus at a fixed static shape.
   B. Hit expansion: turn (bucket, count) runs into flat (probe,
-     alignment) pairs with two cumulative-sum scatters (telescoping
-     across empty buckets), sort, and deduplicate.  Slabbed by hit
+     alignment) pairs (bucket of each hit found by binary search over
+     the hit prefix sums), sort, and deduplicate.  Slabbed by hit
      count.
   C. Verification: for fixed-size candidate chunks, rebuild the exact
      match vector from the device-resident corpus + probe tensors and
@@ -187,42 +187,47 @@ def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
 # Stage B: expansion + dedup + compaction
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "Q", "CAP", "s"))
-def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
-    """Expand hits of samples [i0, i1) to deduplicated (probe, alignment)
-    pairs.
+# Stage B is two jits (hit expansion, then dedup+compaction): like
+# stage A, the fused program re-entered multi-minute server-side
+# compilation at every process start; the halves load from the cache
+# in seconds.  The expansion is scatter-free (bucket lookup by binary
+# search over the hit prefix sums) — large 1-D scatters both compile
+# and execute poorly on this backend.
 
-    Pairs are emitted sorted by (probe, alignment) into CAP-sized
-    buffers (sentinel _I32MAX beyond n_pairs); n_pairs > CAP signals
-    overflow (caller retries with a bigger CAP).  Alignment a means
-    probe offset 0 sits at corpus position a (may be negative-of-offset
-    relative to a sequence start; the verify chunk clips).
+@functools.partial(jax.jit, static_argnames=("T", "Q", "s"))
+def _expand_hits_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, s):
+    """Expand hits of samples [i0, i1) to raw (probe, alignment) pairs.
+
+    Returns (p i32[T], a i32[T]): entries past the true hit count carry
+    the sentinel _I32MAX.  Alignment a means probe offset 0 sits at
+    corpus position a (possibly before the owning sequence start; the
+    verify chunk clips).
     """
     iq = jnp.arange(Q, dtype=jnp.int32)
     cnt_sub = jnp.where((iq >= i0) & (iq < i1), cnt, 0)
     csum = jnp.cumsum(cnt_sub)
     total = csum[-1]
-    pos = (g0 + iq) * s
-
-    # Expansion: table index per hit and sample position per hit via
-    # one scatter + cumsum each; boundary scatters use add, which
-    # telescopes across empty buckets (including the masked-off
-    # prefix).
-    step = jnp.ones((T,), jnp.int32)
-    step = step.at[0].set(lo[0])
-    step = step.at[csum[:-1]].add(lo[1:] - lo[:-1] - cnt_sub[:-1],
-                                  mode="drop")
-    idx = jnp.cumsum(step)
-    step2 = jnp.zeros((T,), jnp.int32)
-    step2 = step2.at[0].set(pos[0])
-    step2 = step2.at[csum[:-1]].add(pos[1:] - pos[:-1], mode="drop")
-    pos_rep = jnp.cumsum(step2)
-
     t = jnp.arange(T, dtype=jnp.int32)
+    # Bucket of hit t = first sample whose inclusive prefix exceeds t
+    b = jnp.searchsorted(csum, t, side="right").astype(jnp.int32)
+    bc = jnp.minimum(b, Q - 1)
+    csum_excl = csum[bc] - cnt_sub[bc]
+    idx = lo[bc] + (t - csum_excl)
     valid = t < total
     idxc = jnp.clip(idx, 0, tbl_p.shape[0] - 1)
     p = jnp.where(valid, tbl_p[idxc], _I32MAX)
-    a = jnp.where(valid, pos_rep - tbl_pos[idxc], 0)
+    a = jnp.where(valid, (g0 + bc) * s - tbl_pos[idxc], 0)
+    return p, a
+
+
+@functools.partial(jax.jit, static_argnames=("CAP",))
+def _dedup_pairs_jit(p, a, *, CAP):
+    """Sort raw pairs, drop duplicates, compact into CAP-sized buffers.
+
+    Pairs come out sorted by (probe, alignment) with sentinel _I32MAX
+    beyond n_pairs; n_pairs > CAP signals overflow (caller retries
+    with a bigger CAP).
+    """
     p_s, a_s = jax.lax.sort((p, a), num_keys=2)
     first = jnp.concatenate([
         jnp.ones((1,), bool),
@@ -235,6 +240,12 @@ def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
         p_s, mode="drop")
     out_a = jnp.zeros((CAP,), jnp.int32).at[sc].set(a_s, mode="drop")
     return out_p, out_a, n_pairs
+
+
+def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
+    p, a = _expand_hits_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos,
+                            T=T, Q=Q, s=s)
+    return _dedup_pairs_jit(p, a, CAP=CAP)
 
 
 # ----------------------------------------------------------------------
