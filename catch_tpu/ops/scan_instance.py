@@ -103,29 +103,36 @@ def _next_pow2(x):
 # Stage T: probe seed table
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("kj", "TBL"))
-def _build_table_jit(codes_perm, *, kj, TBL):
+@functools.partial(jax.jit, static_argnames=("kj", "row", "TBL"))
+def _build_table_jit(flat_codes, *, kj, row, TBL):
     """Sorted (hash, probe, offset) table of every probe kj-mer.
 
-    codes_perm: (P, L) uint8 probe codes in solver order (0 = PAD).
+    flat_codes: uint8[P * row + kj - 1] — probe code rows of width
+    `row` = L + kj (each row: L codes then kj PAD zeros, so windows
+    never span probes and row/offset fall out of the flat index by
+    divmod).  The 1-D formulation matters: the natural (P, L) 2D hash
+    loop sent XLA:TPU into ~6-minute compiles at every process start
+    (non-aligned minor dimension), while this shape compiles and
+    cache-loads with the rest of the pipeline.
+
     Returns (tbl_h u32[TBL], tbl_p i32[TBL], tbl_pos i32[TBL]) sorted
     by hash; unused rows carry hash sentinel HMAX (queries are clamped
     below it and never match).
     """
-    P, L = codes_perm.shape
-    W = L - kj + 1
-    c = codes_perm.astype(jnp.uint32)
-    h = jnp.zeros((P, W), jnp.uint32)
-    ok = jnp.ones((P, W), bool)
+    n = flat_codes.shape[0] - (kj - 1)
+    c = flat_codes.astype(jnp.uint32)
+    h = jnp.zeros((n,), jnp.uint32)
+    ok = jnp.ones((n,), bool)
     for j in range(kj):
-        cj = jax.lax.slice(c, (0, j), (P, j + W))
+        cj = jax.lax.slice(c, (j,), (j + n,))
         h = h * _MULT + cj
         ok = ok & (cj > 0)
     h = jnp.minimum(h, _HMAX - 1)
-    key = jnp.where(ok, h, _HMAX).reshape(-1)
-    p_i = jax.lax.broadcasted_iota(jnp.int32, (P, W), 0).reshape(-1)
-    pos_i = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1).reshape(-1)
-    pad = TBL - P * W
+    f = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(ok, h, _HMAX)
+    p_i = jnp.where(ok, f // row, 0)
+    pos_i = jnp.where(ok, f % row, 0)
+    pad = TBL - n
     key = jnp.concatenate([key, jnp.full((pad,), _HMAX, jnp.uint32)])
     p_i = jnp.concatenate([p_i, jnp.zeros((pad,), jnp.int32)])
     pos_i = jnp.concatenate([pos_i, jnp.zeros((pad,), jnp.int32)])
@@ -569,14 +576,14 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
 
     with maybe_trace("scan_instance"):
         return _run_pipeline(
-            searcher, mega_dev, codes_dev, lens_dev, seq_starts_dev,
-            seq_ends_dev, seq_lens_dev, chrom_off_dev, univ_of_seq_dev,
-            perm, pid_of, total, n_samples, kj, s, L, K, k_seed,
-            seed_req, nU, cover_extension, universe_p, rank_idx_cand,
-            n_rank_vals, cost_cand)
+            searcher, mega_dev, codes_dev, codes_perm, lens_dev,
+            seq_starts_dev, seq_ends_dev, seq_lens_dev, chrom_off_dev,
+            univ_of_seq_dev, perm, pid_of, total, n_samples, kj, s, L,
+            K, k_seed, seed_req, nU, cover_extension, universe_p,
+            rank_idx_cand, n_rank_vals, cost_cand)
 
 
-def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
+def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
                   seq_starts_dev, seq_ends_dev, seq_lens_dev,
                   chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
                   n_samples, kj, s, L, K, k_seed, seed_req, nU,
@@ -595,10 +602,14 @@ def _run_pipeline(searcher, mega_dev, codes_dev, lens_dev,
 
     t0 = _time.time()
     P = len(searcher.probes)
-    # Stage T
-    W_probe = max(L - kj + 1, 1)
-    TBL = _next_pow2(P * W_probe)
-    tbl_h, tbl_p, tbl_pos = _build_table_jit(codes_dev, kj=kj, TBL=TBL)
+    # Stage T: probe rows flattened with kj-PAD gaps (see
+    # _build_table_jit for why 1-D).
+    row = L + kj
+    flat = np.zeros(P * row + kj - 1, dtype=np.uint8)
+    flat[:P * row].reshape(P, row)[:, :L] = codes_perm
+    TBL = _next_pow2(P * row)
+    tbl_h, tbl_p, tbl_pos = _build_table_jit(
+        jnp.asarray(flat), kj=kj, row=row, TBL=TBL)
     # tbl_p holds row indices into codes_dev, which is already in
     # solver (pid-sorted) order, so pair keys sort by candidate id.
 
