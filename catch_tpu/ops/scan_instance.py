@@ -628,27 +628,38 @@ def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
     pair_bufs = []   # (p_c, a_c, n) device buffers + host count
     n_candidates = 0
     for g0, lo, cnt, csum in slabs:
-        slab_total = int(csum[-1])
+        # One strided readback of the prefix sums per slab; every
+        # subrange decision below is host math on it.  (Reading
+        # csum[i] at varying host-constant indices instead compiled a
+        # fresh one-off device program per distinct index — tens of
+        # uncacheable compiles per corpus on this backend.)
+        stride = max(1, slab_q // 256)
+        grid = np.asarray(csum[stride - 1::stride]).astype(np.int64)
+        slab_total = int(grid[-1])
         if slab_total < 0:
             logger.warning("Join hit count overflowed int32; falling "
                            "back to the host scan path")
             return None
         if slab_total == 0:
             continue
-        # Split the sample range so each piece expands <= _T_SLAB hits.
-        n_parts = max(1, -(-slab_total // _T_SLAB))
+        # Split the sample range so each piece expands <= _T_SLAB hits
+        # (75% target leaves headroom for grid-cell granularity).
+        n_parts = max(1, -(-slab_total // (_T_SLAB * 3 // 4)))
         if n_parts == 1:
             bounds = [0, slab_q]
         else:
-            grid = np.asarray(csum[:: max(1, slab_q // 256)])
             targets = np.arange(1, n_parts) * (slab_total / n_parts)
-            cut = np.searchsorted(grid, targets) * max(1, slab_q // 256)
-            bounds = [0] + [int(c) for c in cut] + [slab_q]
+            cut = (np.searchsorted(grid, targets) + 1) * stride
+            bounds = sorted(set(
+                [0] + [int(min(c, slab_q)) for c in cut] + [slab_q]))
+
+        def hits_before(i):
+            return int(grid[i // stride - 1]) if i else 0
+
         for i0, i1 in zip(bounds[:-1], bounds[1:]):
             if i0 >= i1:
                 continue
-            base = int(csum[i0 - 1]) if i0 > 0 else 0
-            sub_total = (int(csum[i1 - 1]) if i1 > 0 else 0) - base
+            sub_total = hits_before(i1) - hits_before(i0)
             if sub_total == 0:
                 continue
             if sub_total > _T_SLAB:
