@@ -357,9 +357,14 @@ class SetCoverFilter(BaseFilter):
             ranks = self._make_ranks(possible_probes,
                                      target_genomes_grouped)
             universe_p = self._make_universe_p(target_genomes)
+            # Snapshot the searcher's candidate counter: a failed
+            # device attempt has already counted its candidates, and
+            # the host fallback scan would count the group again.
+            cand_before = prepared[0].stats["candidates"]
             chosen = self._solve_group_device(
                 prepared, target_genomes, ranks, universe_p, stats)
             if chosen is None:
+                prepared[0].stats["candidates"] = cand_before
                 t0 = _time.time()
                 set_ids, univ_ids, starts, ends = self._make_cover_arrays(
                     possible_probes, target_genomes, prepared=prepared)

@@ -171,18 +171,34 @@ def _hash_samples_jit(mega, g0, n_last, *, kj, s, Q):
     return jnp.where(ok, h, _HMAX)
 
 
+# Samples per planning block: the per-block hit sums read back for
+# subrange planning are exact in int64 (the lo/hi 16-bit halves of the
+# counts are summed separately, so a block sum can never overflow
+# int32: 2^10 * 2^16 < 2^31 per half).
+_PLAN_BLOCK = 1 << 10
+
+
 @jax.jit
 def _lookup_jit(tbl_h, q):
-    """Table hit ranges per sample hash: (lo, cnt, csum) i32[Q].
+    """Table hit ranges per sample hash: (lo, cnt, bs_lo, bs_hi).
 
-    Sentinel hashes (HMAX) never match (table rows are clamped below
-    HMAX), so their cnt is 0 without extra masking... except that pad
-    rows of the table ARE the sentinel, so mask explicitly.
+    lo/cnt are i32[Q]; bs_lo/bs_hi are i32[Q/_PLAN_BLOCK] per-block
+    sums of the low/high 16-bit halves of cnt, combined on the host
+    into an exact int64 hit-count grid (a plain int32 cumsum readback
+    can wrap past 2^31 hits per slab and silently corrupt subrange
+    planning).  Sentinel hashes (HMAX) never match (table rows are
+    clamped below HMAX), so their cnt is 0 without extra masking...
+    except that pad rows of the table ARE the sentinel, so mask
+    explicitly.
     """
     lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(tbl_h, q, side="right").astype(jnp.int32)
     cnt = jnp.where(q != _HMAX, hi - lo, 0)
-    return lo, cnt, jnp.cumsum(cnt)
+    bs = min(_PLAN_BLOCK, cnt.shape[0])
+    blocks = cnt.reshape(-1, bs)
+    bs_lo = jnp.sum(blocks & 0xFFFF, axis=1, dtype=jnp.int32)
+    bs_hi = jnp.sum(blocks >> 16, axis=1, dtype=jnp.int32)
+    return lo, cnt, bs_lo, bs_hi
 
 
 def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
@@ -393,7 +409,12 @@ def _merge_runs(k, s, e, OUT):
 
     rmax = e2
     d = 1
-    while d < OUT:
+    # Propagate over the FULL input length, not OUT: a group (one key,
+    # or one universe in the union pass) can span far more input rows
+    # than the OUT compaction width, and truncating the doubling loop
+    # at OUT silently fragments its merged runs (inflating u_size).
+    n_in = k2.shape[0]
+    while d < n_in:
         rs = jnp.concatenate([jnp.zeros((d,), rmax.dtype), rmax[:-d]])
         gs = jnp.concatenate([jnp.full((d,), -1, gid.dtype), gid[:-d]])
         rmax = jnp.where(gs == gid, jnp.maximum(rmax, rs), rmax)
@@ -618,28 +639,27 @@ def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
     slab_q = _SLAB_SAMPLES
     slabs = []
     for g0 in range(0, n_samples, slab_q):
-        lo, cnt, csum = _stage_a_jit(
+        lo, cnt, bs_lo, bs_hi = _stage_a_jit(
             mega_dev, jnp.int32(g0), jnp.int32(n_last), tbl_h,
             kj=kj, s=s, Q=slab_q)
-        slabs.append((g0, lo, cnt, csum))
+        slabs.append((g0, lo, cnt, bs_lo, bs_hi))
     t0 = _mark("table_and_hash", t0)
 
     # Stage B: expansion subranges with <= _T_SLAB hits each
     pair_bufs = []   # (p_c, a_c, n) device buffers + host count
     n_candidates = 0
-    for g0, lo, cnt, csum in slabs:
-        # One strided readback of the prefix sums per slab; every
-        # subrange decision below is host math on it.  (Reading
-        # csum[i] at varying host-constant indices instead compiled a
-        # fresh one-off device program per distinct index — tens of
-        # uncacheable compiles per corpus on this backend.)
-        stride = max(1, slab_q // 256)
-        grid = np.asarray(csum[stride - 1::stride]).astype(np.int64)
+    for g0, lo, cnt, bs_lo, bs_hi in slabs:
+        # One per-block readback of the hit sums per slab; every
+        # subrange decision below is host math on the exact int64
+        # prefix grid built from the 16-bit halves (see _lookup_jit).
+        # (Reading prefix values at varying host-constant indices
+        # instead compiled a fresh one-off device program per distinct
+        # index — tens of uncacheable compiles per corpus.)
+        stride = min(_PLAN_BLOCK, slab_q)
+        block64 = (np.asarray(bs_lo).astype(np.int64)
+                   + (np.asarray(bs_hi).astype(np.int64) << 16))
+        grid = np.cumsum(block64)
         slab_total = int(grid[-1])
-        if slab_total < 0:
-            logger.warning("Join hit count overflowed int32; falling "
-                           "back to the host scan path")
-            return None
         if slab_total == 0:
             continue
         # Split the sample range so each piece expands <= _T_SLAB hits

@@ -226,6 +226,89 @@ def test_filter_device_path_matches_host_path(small_shapes, monkeypatch):
     assert f2.last_run_stats["set_cover_picks"] > 0
 
 
+def test_merge_runs_group_longer_than_out_width():
+    """Running-max propagation must span the full input, not the OUT
+    compaction width: one long interval plus many short gapped ones in
+    a single group is one merged run even when the group has far more
+    rows than OUT (regression: the doubling loop was bounded by OUT,
+    fragmenting long groups and inflating u_size)."""
+    import jax.numpy as jnp
+
+    n = 1 << 14
+    out_w = 1 << 12          # < n: propagation must cross this width
+    k = np.zeros(n, np.int32)
+    s = np.zeros(n, np.int32)
+    e = np.zeros(n, np.int32)
+    s[0], e[0] = 0, 100000
+    s[1:] = 3 * np.arange(1, n, dtype=np.int32)
+    e[1:] = s[1:] + 1
+    mk, ms, me, nr = scan_instance._merge_runs(
+        jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), out_w)
+    assert int(nr) == 1
+    assert (int(ms[0]), int(me[0])) == (0, 100000)
+
+
+def test_union_group_longer_than_union_cap():
+    """_union_jit with per-universe group length >> OUT: the union of
+    nested intervals under one universe collapses to one run."""
+    import jax.numpy as jnp
+
+    nU = 4
+    n = 1 << 13
+    out_w = 1 << 8
+    # Pair keys all map to universe 1 (key % nU == 1); intervals are
+    # one [0, 50000) plus gapped fragments.
+    k = (np.arange(n, dtype=np.int32) * nU) + 1
+    s = np.zeros(n, np.int32)
+    e = np.zeros(n, np.int32)
+    s[0], e[0] = 0, 50000
+    s[1:] = 5 * np.arange(1, n, dtype=np.int32)
+    e[1:] = s[1:] + 2
+    uk, us, ue, nr = scan_instance._union_jit(
+        jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), OUT=out_w, nU=nU)
+    assert int(nr) == 1
+    assert (int(uk[0]), int(us[0]), int(ue[0])) == (1, 0, 50000)
+
+
+def test_plan_grid_matches_exact_counts(small_shapes):
+    """The per-block planning sums read back from stage A reconstruct
+    the exact int64 hit prefix grid (lo/hi 16-bit halves recombined)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    genomes = _corpus(rng, 3, 1200)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+    model = CoverModel(mismatches=2, lcf_thres=60)
+    searcher = ProbeSearcher(probes, model)
+    kj, s = scan_instance._join_params_stride(searcher)
+    L = searcher.Lmax
+    row = L + kj
+    P = len(searcher.probes)
+    flat = np.zeros(P * row + kj - 1, dtype=np.uint8)
+    flat[:P * row].reshape(P, row)[:, :L] = searcher.probe_codes
+    TBL = scan_instance._next_pow2(P * row)
+    tbl_h, _, _ = scan_instance._build_table_jit(
+        jnp.asarray(flat), kj=kj, row=row, TBL=TBL)
+
+    Q = scan_instance._SLAB_SAMPLES
+    corpus = searcher.alphabet.encode(
+        np.frombuffer("".join(seqs).encode(), dtype=np.uint8))
+    mega = np.zeros(Q * s + kj + 8, dtype=np.uint8)
+    mega[:len(corpus)] = corpus
+    lo, cnt, bs_lo, bs_hi = scan_instance._stage_a_jit(
+        jnp.asarray(mega), jnp.int32(0), jnp.int32(len(corpus) - kj),
+        tbl_h, kj=kj, s=s, Q=Q)
+    block64 = (np.asarray(bs_lo).astype(np.int64)
+               + (np.asarray(bs_hi).astype(np.int64) << 16))
+    stride = min(scan_instance._PLAN_BLOCK, Q)
+    exact = np.cumsum(np.asarray(cnt).astype(np.int64))
+    assert np.array_equal(np.cumsum(block64), exact[stride - 1::stride])
+    assert int(np.asarray(cnt).sum()) > 0
+
+
 def test_duplicate_candidates_last_wins(small_shapes, monkeypatch):
     """Duplicate candidate sequences map to the last candidate id, and
     tie-breaks order by candidate id (not searcher order)."""
