@@ -40,6 +40,41 @@ class NearDuplicateFilter(BaseFilter):
                                reverse=True)]
         unique = list(occurrences.keys())
 
+        # Batched LSH engine: identical hash functions, buckets, and
+        # exact re-check as the generic lookup, computed as matrix ops
+        # (the generic per-probe path is ~L*k Python hash calls per
+        # probe and dominated multi-Mbp designs).  Falls back to the
+        # generic path for point sets it does not support.
+        batched = lsh.BatchedNearNeighbor(
+            self.lsh_family, self.k, self.dist_thres,
+            self.reporting_prob, [p.seq_str for p in unique])
+        if batched.supported():
+            return self._sweep_batched(input_sorted, unique, batched)
+        return self._sweep_generic(input_sorted, unique)
+
+    def _sweep_batched(self, input_sorted, unique, batched):
+        """Greedy include/exclude over the batched neighbor engine:
+        only still-included probes are queried (excluded ones never
+        are), exactly as the generic sweep."""
+        row_of = {p: i for i, p in enumerate(unique)}
+        excluded = np.zeros(len(unique), dtype=bool)
+        included = np.zeros(len(unique), dtype=bool)
+        to_include = []
+        for p in input_sorted:
+            i = row_of[p]
+            assert not included[i]
+            if excluded[i]:
+                continue
+            to_include.append(p)
+            included[i] = True
+            nbr = batched.neighbors_of(i)
+            excluded[nbr[~included[nbr]]] = True
+
+        assert int(included.sum() + excluded.sum()) == len(input_sorted)
+        assert not np.any(included & excluded)
+        return to_include
+
+    def _sweep_generic(self, input_sorted, unique):
         nnl = lsh.NearNeighborLookup(
             self.lsh_family, self.k, self.dist_thres, self.dist_fn,
             self.reporting_prob)

@@ -24,7 +24,7 @@ import math
 import numpy as np
 
 __all__ = ["HammingDistanceFamily", "MinHashFamily", "HashConcatenation",
-           "NearNeighborLookup"]
+           "NearNeighborLookup", "BatchedNearNeighbor", "batch_kmer_codes"]
 
 _MERSENNE_P = 2**31 - 1
 
@@ -157,6 +157,249 @@ class HashConcatenation:
 
     def g(self, x):
         return tuple(h(x) for h in self.hs)
+
+
+def _mod_mersenne(y, tmp=None):
+    """Exact y % (2^31 - 1) for uint64 y < 2^62, without division.
+
+    Two shift-add folds bring y below 2^31 + 1; one conditional
+    subtract finishes.  Equal to numpy's ``%`` but several times
+    faster on the signature matrices below.  Mutates ``y`` in place
+    (callers pass a fresh product); ``tmp`` is an optional scratch
+    buffer of the same shape to avoid reallocation in hot loops.
+    """
+    M = np.uint64(_MERSENNE_P)
+    s = np.uint64(31)
+    if tmp is None:
+        tmp = np.empty_like(y)
+    for _ in range(2):
+        np.right_shift(y, s, out=tmp)
+        np.bitwise_and(y, M, out=y)
+        np.add(y, tmp, out=y)
+    # y < 2^31 + 1 here; subtract M where y >= M
+    np.subtract(y, M, out=y, where=y >= M)
+    return y
+
+
+def batch_kmer_codes(seqs_b, k):
+    """k-mer integer codes for a batch of equal-length sequences.
+
+    seqs_b: uint8[U, Ls] ASCII bytes.  Returns uint64[U, Ls-k+1] with
+    row u equal to _kmer_int_codes of sequence u (same polynomial, same
+    modulus) — the batched form of the per-sequence hash.
+    """
+    U, Ls = seqs_b.shape
+    n = Ls - k + 1
+    if n <= 0:
+        return np.empty((U, 0), dtype=np.uint64)
+    P = np.uint64(1000003)
+    b = seqs_b.astype(np.uint64)
+    acc = np.zeros((U, n), dtype=np.uint64)
+    tmp = np.empty((U, n), dtype=np.uint64)
+    for j in range(k):
+        np.multiply(acc, P, out=acc)
+        np.add(acc, b[:, j:j + n], out=acc)
+        _mod_mersenne(acc, tmp)
+    return acc
+
+
+class BatchedNearNeighbor:
+    """Vectorized equivalent of NearNeighborLookup over a fixed point
+    set: same hash functions (identical RNG draw order), same bucket
+    partition per table, same exact-distance re-check — so
+    ``neighbors_of`` returns exactly the set ``query`` would, but the
+    whole signature matrix is computed with a few hundred numpy matrix
+    ops instead of ~L*k Python-level hash calls per point.
+
+    Supports the two families the near-duplicate filters use with
+    batched signatures (MinHashFamily with N=1, HammingDistanceFamily
+    on equal-length points); ``supported()`` reports False otherwise
+    and callers fall back to the generic lookup.
+    """
+
+    def __init__(self, family, k, dist_thres, reporting_prob, seqs):
+        self.family = family
+        self.k = k
+        self.dist_thres = dist_thres
+        P1 = family.P1(dist_thres)
+        if P1 == 1.0:
+            self.num_tables = 1
+        else:
+            self.num_tables = int(math.ceil(
+                math.log(1.0 - reporting_prob, 1.0 - math.pow(P1, k))))
+        self.seqs = seqs
+        self.U = len(seqs)
+        self._ok = self.U > 0
+        self._sig = None
+        if not self._ok:
+            return
+        if isinstance(family, MinHashFamily) and family.N == 1:
+            self._ok = min(len(s) for s in seqs) >= family.kmer_size
+            if self._ok:
+                self._build_minhash()
+        elif isinstance(family, HammingDistanceFamily):
+            self._ok = all(len(s) == family.dim for s in seqs)
+            if self._ok:
+                self._build_hamming()
+        else:
+            self._ok = False
+        if self._ok:
+            self._build_tables()
+            self._build_dist()
+
+    def supported(self):
+        return self._ok
+
+    # -- signatures ----------------------------------------------------
+
+    def _byte_matrix_groups(self):
+        """Group point indices by sequence length -> (idx, bytes)."""
+        by_len = {}
+        for i, s in enumerate(self.seqs):
+            by_len.setdefault(len(s), []).append(i)
+        for ln, idxs in sorted(by_len.items()):
+            b = np.frombuffer(
+                "".join(self.seqs[i] for i in idxs).encode("ascii"),
+                dtype=np.uint8).reshape(len(idxs), ln)
+            yield np.asarray(idxs, dtype=np.int64), b
+
+    def _build_minhash(self):
+        """Signature matrix: column t = min over k-mers of the t-th
+        universal hash (a*code + b) % p — the batched form of
+        MinHashFamily.make_h's closure, with the SAME rng draw order
+        (table-major, then concatenation position)."""
+        fam = self.family
+        H = self.num_tables * self.k
+        p = _MERSENNE_P
+        ab = np.empty((H, 2), dtype=np.uint64)
+        for t in range(H):
+            ab[t, 0] = int(fam._rng.integers(1, p + 1))
+            ab[t, 1] = int(fam._rng.integers(0, p + 1))
+        sig = np.empty((self.U, H), dtype=np.uint64)
+        for idxs, b in self._byte_matrix_groups():
+            codes = batch_kmer_codes(b, fam.kmer_size)
+            buf = np.empty_like(codes)
+            tmp = np.empty_like(codes)
+            for t in range(H):
+                np.multiply(codes, ab[t, 0], out=buf)
+                np.add(buf, ab[t, 1], out=buf)
+                _mod_mersenne(buf, tmp)
+                sig[idxs, t] = buf.min(axis=1)
+        self._sig = sig
+
+    def _build_hamming(self):
+        """Signature matrix = sampled coordinates (one rng draw per
+        hash function, table-major order, as in make_h)."""
+        fam = self.family
+        H = self.num_tables * self.k
+        coords = np.array([int(fam._rng.integers(0, fam.dim))
+                           for _ in range(H)], dtype=np.int64)
+        b = np.frombuffer("".join(self.seqs).encode("ascii"),
+                          dtype=np.uint8).reshape(self.U, fam.dim)
+        self._bytes = b
+        self._sig = b[:, coords].astype(np.uint64)
+
+    # -- bucket tables -------------------------------------------------
+
+    def _build_tables(self):
+        """Per table: group rows by their k signature columns (the
+        dict-key partition of the generic lookup, via lexsort)."""
+        self._tables = []
+        for j in range(self.num_tables):
+            cols = self._sig[:, j * self.k:(j + 1) * self.k]
+            order = np.lexsort(cols.T[::-1])
+            sc = cols[order]
+            newgrp = np.concatenate(
+                [[True], (sc[1:] != sc[:-1]).any(axis=1)])
+            grp_of_sorted = np.cumsum(newgrp) - 1
+            grp_of_row = np.empty(self.U, dtype=np.int64)
+            grp_of_row[order] = grp_of_sorted
+            bounds = np.concatenate(
+                [np.flatnonzero(newgrp), [self.U]]).astype(np.int64)
+            self._tables.append((order, grp_of_row, bounds))
+
+    # -- exact distances -----------------------------------------------
+
+    def _build_dist(self):
+        fam = self.family
+        if isinstance(fam, HammingDistanceFamily):
+            self._dist_batch = self._hamming_batch
+            return
+        # Exact k-mer sets per point for Jaccard: pack each k-mer
+        # bijectively into uint64 when the observed alphabet allows
+        # (size^k < 2^63), else keep per-pair string sets.
+        k = fam.kmer_size
+        seen = np.zeros(256, dtype=bool)
+        for _, b in self._byte_matrix_groups():
+            seen[np.unique(b)] = True
+        size = int(seen.sum())
+        if size == 0 or size ** k >= 2 ** 63:
+            self._dist_batch = self._jaccard_batch_strings
+            return
+        lut = np.zeros(256, dtype=np.uint64)
+        lut[np.flatnonzero(seen)] = np.arange(size, dtype=np.uint64)
+        vals_parts = [None] * self.U
+        for idxs, b in self._byte_matrix_groups():
+            n = b.shape[1] - k + 1
+            acc = np.zeros((len(idxs), n), dtype=np.uint64)
+            c = lut[b]
+            for j in range(k):
+                acc = acc * np.uint64(size) + c[:, j:j + n]
+            for row, i in enumerate(idxs):
+                vals_parts[i] = np.unique(acc[row])
+        offs = np.zeros(self.U + 1, dtype=np.int64)
+        for i, v in enumerate(vals_parts):
+            offs[i + 1] = offs[i] + len(v)
+        self._kset_vals = np.concatenate(vals_parts) if self.U else \
+            np.empty(0, dtype=np.uint64)
+        self._kset_offs = offs
+        self._dist_batch = self._jaccard_batch_packed
+
+    def _hamming_batch(self, qi, cand):
+        return (self._bytes[cand] != self._bytes[qi]).sum(axis=1)
+
+    def _jaccard_batch_packed(self, qi, cand):
+        v, o = self._kset_vals, self._kset_offs
+        q = v[o[qi]:o[qi + 1]]
+        sizes = o[cand + 1] - o[cand]
+        flat = np.concatenate([v[o[c]:o[c + 1]] for c in cand])
+        pos = np.searchsorted(q, flat)
+        hit = (pos < len(q)) & (q[np.minimum(pos, len(q) - 1)] == flat)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        # (cast before reduceat: np.add on bools is logical-or)
+        inter = np.add.reduceat(hit.astype(np.int64), bounds[:-1]) \
+            if len(cand) else np.empty(0, dtype=np.int64)
+        inter = np.where(sizes > 0, inter, 0)
+        union = len(q) + sizes - inter
+        return 1.0 - inter / union
+
+    def _jaccard_batch_strings(self, qi, cand):
+        k = self.family.kmer_size
+        q = self.seqs[qi]
+        q_kmers = {q[i:i + k] for i in range(len(q) - k + 1)}
+        out = np.empty(len(cand), dtype=np.float64)
+        for t, c in enumerate(cand):
+            s = self.seqs[c]
+            s_kmers = {s[i:i + k] for i in range(len(s) - k + 1)}
+            out[t] = 1.0 - (len(q_kmers & s_kmers)
+                            / len(q_kmers | s_kmers))
+        return out
+
+    # -- query ---------------------------------------------------------
+
+    def neighbors_of(self, qi):
+        """Indices of stored points within dist_thres of point qi
+        (excluding qi itself) — the batched ``query``."""
+        parts = []
+        for order, grp_of_row, bounds in self._tables:
+            g = grp_of_row[qi]
+            parts.append(order[bounds[g]:bounds[g + 1]])
+        cand = np.unique(np.concatenate(parts))
+        cand = cand[cand != qi]
+        if len(cand) == 0:
+            return cand
+        d = self._dist_batch(qi, cand)
+        return cand[d <= self.dist_thres]
 
 
 class NearNeighborLookup:

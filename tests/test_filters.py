@@ -155,6 +155,54 @@ class TestNearDuplicateFilter:
         out = f._filter(probes)
         assert len(out) == 3
 
+    @staticmethod
+    def _random_mutated_probes(rng, n_clusters, copies, length, mut):
+        import numpy as np
+        from catch_tpu.probe import Probe
+        bases = np.array(list("ACGT"))
+        probes = []
+        for _ in range(n_clusters):
+            base = rng.choice(bases, size=length)
+            for _ in range(copies):
+                seq = base.copy()
+                m = rng.random(length) < mut
+                seq[m] = rng.choice(bases, size=int(m.sum()))
+                probes.append(Probe.from_str("".join(seq)))
+        rng.shuffle(probes)
+        return probes
+
+    @pytest.mark.parametrize("make_filter", [
+        lambda seed: NearDuplicateFilterWithHammingDistance(
+            8, 60, seed=seed),
+        lambda seed: NearDuplicateFilterWithMinHash(
+            0.5, kmer_size=8, seed=seed),
+    ])
+    def test_batched_sweep_matches_generic(self, make_filter):
+        """The vectorized LSH engine must reproduce the generic
+        per-probe lookup exactly: same hash draws, same buckets, same
+        exact-distance checks, same greedy output."""
+        import numpy as np
+        rng = np.random.default_rng(99)
+        probes = self._random_mutated_probes(rng, 12, 8, 60, 0.04)
+        # duplicate some probes so multiplicity ordering matters
+        probes = probes + probes[::7]
+
+        f_batched = make_filter(5)
+        out_b = f_batched._filter(list(probes))
+
+        f_generic = make_filter(5)
+        occurrences = {}
+        for p in probes:
+            occurrences[p] = occurrences.get(p, 0) + 1
+        input_sorted = [p for p, _ in
+                        sorted(occurrences.items(), key=lambda t: t[1],
+                               reverse=True)]
+        out_g = f_generic._sweep_generic(
+            input_sorted, list(occurrences.keys()))
+
+        assert [p.seq_str for p in out_b] == [p.seq_str for p in out_g]
+        assert 10 <= len(out_b) < len(occurrences)
+
 
 class TestNaiveRedundantFilter:
     def test_exact_duplicates_default(self):
