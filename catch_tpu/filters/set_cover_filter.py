@@ -287,9 +287,6 @@ class SetCoverFilter(BaseFilter):
         if mode == "host":
             return None
         total_bp = int(np.sum(seq_len)) if len(seq_len) else 0
-        multi = self.mesh is not None and self.mesh.devices.size > 1
-        if multi:
-            return None
         if mode != "force" and total_bp < searcher._BATCH_MIN_BP:
             return None
         from catch_tpu.ops import scan_instance

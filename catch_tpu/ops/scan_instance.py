@@ -586,31 +586,54 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     lens_perm = np.ascontiguousarray(
         searcher.probe_lens[perm].astype(np.int32))
 
-    mega_dev = jnp.asarray(mega)
-    codes_dev = jnp.asarray(codes_perm)
-    lens_dev = jnp.asarray(lens_perm)
-    seq_starts_dev = jnp.asarray(starts.astype(np.int32))
-    seq_ends_dev = jnp.asarray(ends.astype(np.int32))
-    seq_lens_dev = jnp.asarray(seq_lens.astype(np.int32))
-    chrom_off_dev = jnp.asarray(np.asarray(chrom_off, dtype=np.int32))
-    univ_of_seq_dev = jnp.asarray(np.asarray(seq_univ, dtype=np.int32))
+    # Mesh scale-out: stages A/B/C are embarrassingly parallel over
+    # sample slabs / hit subranges / candidate chunks, so dispatches
+    # round-robin over the mesh's addressable devices with the corpus
+    # and lookup tables replicated; stage-C outputs hop to the first
+    # device, where the merges and assembly run.  Dispatch order is
+    # device-independent, so the instance is bit-identical at any
+    # device count (the num_processes-invariance contract).
+    mesh = getattr(searcher, "mesh", None)
+    if mesh is not None and mesh.devices.size > 1:
+        devices = [d for d in mesh.devices.flat
+                   if d.process_index == jax.process_index()]
+    else:
+        devices = [None]    # default placement, no replication
+
+    def rep(x):
+        a = jnp.asarray(x)
+        if devices[0] is None:
+            return [a]
+        return [jax.device_put(a, d) for d in devices]
+
+    mega_dev = rep(mega)
+    codes_dev = rep(codes_perm)
+    lens_dev = rep(lens_perm)
+    seq_starts_dev = rep(starts.astype(np.int32))
+    seq_ends_dev = rep(ends.astype(np.int32))
+    seq_lens_dev = rep(seq_lens.astype(np.int32))
+    chrom_off_dev = rep(np.asarray(chrom_off, dtype=np.int32))
+    univ_of_seq_dev = rep(np.asarray(seq_univ, dtype=np.int32))
 
     with maybe_trace("scan_instance"):
         return _run_pipeline(
-            searcher, mega_dev, codes_dev, codes_perm, lens_dev,
-            seq_starts_dev, seq_ends_dev, seq_lens_dev, chrom_off_dev,
-            univ_of_seq_dev, perm, pid_of, total, n_samples, kj, s, L,
-            K, k_seed, seed_req, nU, cover_extension, universe_p,
-            rank_idx_cand, n_rank_vals, cost_cand)
+            searcher, devices, mega_dev, codes_dev, codes_perm,
+            lens_dev, seq_starts_dev, seq_ends_dev, seq_lens_dev,
+            chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
+            n_samples, kj, s, L, K, k_seed, seed_req, nU,
+            cover_extension, universe_p, rank_idx_cand, n_rank_vals,
+            cost_cand)
 
 
-def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
-                  seq_starts_dev, seq_ends_dev, seq_lens_dev,
+def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
+                  lens_dev, seq_starts_dev, seq_ends_dev, seq_lens_dev,
                   chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
                   n_samples, kj, s, L, K, k_seed, seed_req, nU,
                   cover_extension, universe_p, rank_idx_cand,
                   n_rank_vals, cost_cand):
     import time as _time
+
+    n_dev = len(devices)
 
     # Wall-clock per phase, measured at each phase's blocking readback
     # (dispatches are asynchronous, so a phase's time includes device
@@ -629,26 +652,33 @@ def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
     flat = np.zeros(P * row + kj - 1, dtype=np.uint8)
     flat[:P * row].reshape(P, row)[:, :L] = codes_perm
     TBL = _next_pow2(P * row)
-    tbl_h, tbl_p, tbl_pos = _build_table_jit(
-        jnp.asarray(flat), kj=kj, row=row, TBL=TBL)
+    tbl = _build_table_jit(jnp.asarray(flat), kj=kj, row=row, TBL=TBL)
+    if devices[0] is None:
+        tbl_by_dev = [tbl]
+    else:
+        tbl_by_dev = [tuple(jax.device_put(x, d) for x in tbl)
+                      for d in devices]
     # tbl_p holds row indices into codes_dev, which is already in
     # solver (pid-sorted) order, so pair keys sort by candidate id.
 
-    # Stage A over sample slabs
+    # Stage A over sample slabs, round-robin over the mesh devices
     n_last = total - kj  # last valid kj-mer start position
     slab_q = _SLAB_SAMPLES
     slabs = []
-    for g0 in range(0, n_samples, slab_q):
+    for si, g0 in enumerate(range(0, n_samples, slab_q)):
+        di = si % n_dev
         lo, cnt, bs_lo, bs_hi = _stage_a_jit(
-            mega_dev, jnp.int32(g0), jnp.int32(n_last), tbl_h,
-            kj=kj, s=s, Q=slab_q)
-        slabs.append((g0, lo, cnt, bs_lo, bs_hi))
+            mega_dev[di], jnp.int32(g0), jnp.int32(n_last),
+            tbl_by_dev[di][0], kj=kj, s=s, Q=slab_q)
+        slabs.append((di, g0, lo, cnt, bs_lo, bs_hi))
     t0 = _mark("table_and_hash", t0)
 
-    # Stage B: expansion subranges with <= _T_SLAB hits each
-    pair_bufs = []   # (p_c, a_c, n) device buffers + host count
+    # Stage B: expansion subranges with <= _T_SLAB hits each; each
+    # subrange runs on the device that holds its slab's hit ranges.
+    pending_b = []   # dispatched, counts not yet read
+    pair_bufs = []   # (device idx, p_c, a_c, n)
     n_candidates = 0
-    for g0, lo, cnt, bs_lo, bs_hi in slabs:
+    for di, g0, lo, cnt, bs_lo, bs_hi in slabs:
         # One per-block readback of the hit sums per slab; every
         # subrange decision below is host math on the exact int64
         # prefix grid built from the 16-bit halves (see _lookup_jit).
@@ -686,18 +716,27 @@ def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
                 logger.warning("Expansion subrange still exceeds the "
                                "hit slab; falling back to host scan")
                 return None
-            cap = _PAIR_CAP
-            while True:
-                p_c, a_c, n_pairs = _stage_b_jit(
-                    lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
-                    tbl_p, tbl_pos, T=_T_SLAB, Q=slab_q, CAP=cap, s=s)
-                n = int(n_pairs)
-                if n <= cap:
-                    break
-                cap = _next_pow2(n)
-            if n:
-                pair_bufs.append((p_c, a_c, n))
-                n_candidates += n
+            # Dispatch only; counts are read back after every device
+            # has work queued so the mesh runs subranges concurrently.
+            p_c, a_c, n_pairs = _stage_b_jit(
+                lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
+                tbl_by_dev[di][1], tbl_by_dev[di][2],
+                T=_T_SLAB, Q=slab_q, CAP=_PAIR_CAP, s=s)
+            pending_b.append((di, lo, cnt, g0, i0, i1, p_c, a_c,
+                              n_pairs))
+    for di, lo, cnt, g0, i0, i1, p_c, a_c, n_pairs in pending_b:
+        n = int(n_pairs)
+        cap = _PAIR_CAP
+        while n > cap:   # rare overflow: re-run with a bigger buffer
+            cap = _next_pow2(n)
+            p_c, a_c, n_pairs = _stage_b_jit(
+                lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
+                tbl_by_dev[di][1], tbl_by_dev[di][2],
+                T=_T_SLAB, Q=slab_q, CAP=cap, s=s)
+            n = int(n_pairs)
+        if n:
+            pair_bufs.append((di, p_c, a_c, n))
+            n_candidates += n
     searcher.stats["candidates"] += n_candidates
     t0 = _mark("join_expand", t0)
     if not pair_bufs:
@@ -727,25 +766,44 @@ def _run_pipeline(searcher, mega_dev, codes_dev, codes_perm, lens_dev,
         chunk_accum = []
 
     C = _C_CHUNK
-    for (p_c, a_c, n) in pair_bufs:
-        for off in range(0, n, C):
+
+    def _dispatch_c(di, p_c, a_c, n, off, cap):
+        return _stage_c_jit(
+            mega_dev[di], codes_dev[di], lens_dev[di], p_c, a_c,
+            jnp.int32(off), jnp.int32(n), seq_starts_dev[di],
+            seq_ends_dev[di], seq_lens_dev[di],
+            chrom_off_dev[di], univ_of_seq_dev[di],
+            jnp.int32(k_seed), jnp.int32(searcher.lcf_static),
+            L=L, K=K, C=C, cap=cap, seed_req=seed_req,
+            fast_ok=searcher.fast_ok, nU=nU, ext=ext)
+
+    chunks = [(di, p_c, a_c, n, off)
+              for (di, p_c, a_c, n) in pair_bufs
+              for off in range(0, n, C)]
+    # Dispatch in waves (all devices busy before any count readback),
+    # consume in chunk order so the merge sequence — and therefore the
+    # instance — is identical at any device count.
+    wave = _BATCH_CHUNKS * max(2, n_dev)
+    for w0 in range(0, len(chunks), wave):
+        pend = []
+        for (di, p_c, a_c, n, off) in chunks[w0:w0 + wave]:
+            pend.append((di, p_c, a_c, n, off,
+                         _dispatch_c(di, p_c, a_c, n, off, _SPAN_CAP)))
+        for (di, p_c, a_c, n, off, (key, us, ue, nq)) in pend:
+            nqi = int(nq)
             cap = _SPAN_CAP
-            while True:
-                key, us, ue, nq = _stage_c_jit(
-                    mega_dev, codes_dev, lens_dev, p_c, a_c,
-                    jnp.int32(off), jnp.int32(n), seq_starts_dev,
-                    seq_ends_dev, seq_lens_dev, chrom_off_dev,
-                    univ_of_seq_dev, jnp.int32(k_seed),
-                    jnp.int32(searcher.lcf_static), L=L, K=K, C=C,
-                    cap=cap, seed_req=seed_req,
-                    fast_ok=searcher.fast_ok, nU=nU, ext=ext)
-                nqi = int(nq)
-                if nqi <= cap:
-                    break
+            while nqi > cap:   # rare overflow: re-run wider
                 cap = _next_pow2(nqi)
+                key, us, ue, nq = _dispatch_c(di, p_c, a_c, n, off, cap)
+                nqi = int(nq)
             if nqi == 0:
                 continue
             span_total += nqi
+            if di != 0 and devices[0] is not None:
+                # merges and assembly run on the first device
+                key = jax.device_put(key, devices[0])
+                us = jax.device_put(us, devices[0])
+                ue = jax.device_put(ue, devices[0])
             if key.shape[0] != _SPAN_CAP:
                 # escalated cap: merge this chunk alone so batch
                 # stacking keeps a fixed width

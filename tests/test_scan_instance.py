@@ -226,6 +226,38 @@ def test_filter_device_path_matches_host_path(small_shapes, monkeypatch):
     assert f2.last_run_stats["set_cover_picks"] > 0
 
 
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_device_pipeline_sharded_over_mesh(small_shapes, monkeypatch,
+                                           n_devices):
+    """The device-resident instance pipeline shards stages A/B/C over
+    the mesh (round-robin dispatch placement) and must produce the
+    bit-identical probe set at any device count — the TPU analogue of
+    the reference's num_processes-invariance contract
+    (reference test_set_cover_filter.py:134-175)."""
+    from catch_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(77)
+    genomes = _corpus(rng, 6, 2200)
+    seqs = [s for g in genomes for s in g.seqs]
+    probes = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                             probe_stride=40))
+
+    monkeypatch.setenv("CATCH_TPU_INSTANCE", "force")
+    f1 = SetCoverFilter(mismatches=2, lcf_thres=60, cover_extension=25)
+    out_single = f1.filter([probes], [genomes], input_is_grouped=True)
+    assert f1.last_run_stats["set_cover_picks"] > 0
+
+    mesh = make_mesh(n_devices)
+    f2 = SetCoverFilter(mismatches=2, lcf_thres=60, cover_extension=25,
+                        mesh=mesh)
+    out_mesh = f2.filter([probes], [genomes], input_is_grouped=True)
+    assert f2.last_run_stats["set_cover_picks"] > 0, \
+        "mesh run must take the device pipeline, not a fallback"
+    assert [p.seq_str for p in out_mesh[0]] == \
+        [p.seq_str for p in out_single[0]]
+
+
 def test_merge_runs_group_longer_than_out_width():
     """Running-max propagation must span the full input, not the OUT
     compaction width: one long interval plus many short gapped ones in
