@@ -341,6 +341,77 @@ def test_plan_grid_matches_exact_counts(small_shapes):
     assert int(np.asarray(cnt).sum()) > 0
 
 
+class TestOverflowAndRetryPaths:
+    """The pipeline's buffer-escalation and guard branches, each forced
+    by shrinking one static capacity and checked for exact parity with
+    the host instance (the reference idiom of guard-rail tests,
+    test_probe.py:792-941)."""
+
+    def _parity(self, genomes, ext=10):
+        seqs = [s for g in genomes for s in g.seqs]
+        probes = DuplicateFilter()._filter(
+            make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                                 probe_stride=40))
+        searcher, pid, r, seq_info = _run_pipeline_direct(
+            genomes, probes, dict(mismatches=2, lcf_thres=60),
+            cover_extension=ext)
+        assert r is not None
+        dev, perm = r
+        inst = _host_instance(searcher, pid, seq_info, genomes, ext,
+                              np.ones(len(genomes)), None)
+        assert _dev_intervals_as_tuples(dev, perm, pid, len(genomes)) \
+            == _host_intervals_as_tuples(inst)
+        assert np.array_equal(
+            np.asarray(dev["u_size"])[:len(genomes)], inst.u_size)
+
+    def test_stage_b_pair_cap_escalation(self, small_shapes, monkeypatch):
+        """Deduplicated pairs exceeding the compaction buffer re-run
+        stage B with a doubled cap (production sizes make this
+        unreachable: _PAIR_CAP == _T_SLAB; here the cap is shrunk
+        below the per-subrange hit count)."""
+        monkeypatch.setattr(scan_instance, "_PAIR_CAP", 1 << 8)
+        rng = np.random.default_rng(19)
+        self._parity(_corpus(rng, 5, 1800))
+
+    def test_stage_c_span_cap_escalation(self, small_shapes, monkeypatch):
+        """A verify chunk emitting more spans than _SPAN_CAP re-runs
+        wider and is merged alone (the fixed-width batch stacker skips
+        it)."""
+        monkeypatch.setattr(scan_instance, "_SPAN_CAP", 1 << 6)
+        rng = np.random.default_rng(29)
+        self._parity(_corpus(rng, 5, 1500))
+
+    def test_union_cap_rerun(self, small_shapes, monkeypatch):
+        """Per-universe union runs exceeding _UNION_CAP trigger the
+        wider re-run readback."""
+        monkeypatch.setattr(scan_instance, "_UNION_CAP", 1 << 3)
+        rng = np.random.default_rng(31)
+        # mismatchy corpus -> fragmented per-universe unions (> 8 runs)
+        self._parity(_corpus(rng, 6, 1600, mut=0.10))
+
+    def test_pair_key_overflow_guard_returns_none(self, small_shapes):
+        """P * n_universes beyond int32 falls back to the host path
+        (pair keys are probe * nU + universe in int32)."""
+        rng = np.random.default_rng(7)
+        genomes = _corpus(rng, 2, 600)
+        seqs = [s for g in genomes for s in g.seqs]
+        probes = DuplicateFilter()._filter(
+            make_candidate_probes_from_sequences(seqs, probe_length=80,
+                                                 probe_stride=40))
+        from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+        searcher = ProbeSearcher(probes, CoverModel(2, 60))
+        pid = np.arange(len(searcher.probes), dtype=np.int64)
+        nU_huge = (np.iinfo(np.int32).max // len(searcher.probes)) + 1
+        r = scan_instance.scan_to_boundary_instance(
+            searcher, seqs, np.zeros(len(seqs), dtype=np.int64),
+            np.zeros(len(seqs), dtype=np.int64),
+            np.array([len(s) for s in seqs], dtype=np.int64),
+            nU_huge, 0, np.ones(2),  # universe_p unused past the guard
+            np.zeros(len(probes), np.int32), 1,
+            np.ones(len(probes), np.float32), pid)
+        assert r is None
+
+
 def test_duplicate_candidates_last_wins(small_shapes, monkeypatch):
     """Duplicate candidate sequences map to the last candidate id, and
     tie-breaks order by candidate id (not searcher order)."""
