@@ -105,6 +105,56 @@ class TestReferenceGoldenM0(unittest.TestCase):
         self.assertEqual(live, fixture)
 
 
+class TestReferenceGoldenIdentifyAvoid(unittest.TestCase):
+    """Exact probe-set parity with the reference on the identification
+    and avoided-genome rank paths (m=0 pigeonhole, fully deterministic;
+    reference test_set_cover_filter.py:270-585 covers the same
+    contracts unit-level).
+
+    Fixtures generated from contrived FASTAs (seeded; two groupings
+    sharing a 120 bp segment for identify, a background FASTA carrying
+    a 180 bp chunk of the target for avoid) by running:
+
+        design.py identify_a.fasta identify_b.fasta -pl 60 -ps 30 \
+            -m 0 -e 0 -i -c 0.5        -> ref_identify_m0.fasta (8)
+        design.py avoid_target.fasta -pl 60 -ps 30 -m 0 -e 0 \
+            --avoid-genomes avoid_bg.fasta -> ref_avoid_m0.fasta (10,
+            2 picks at rank > 0)
+    """
+
+    def _seqs(self, path):
+        return {seq for _, seq in _read_records(path)}
+
+    def test_identify_exact_probe_set(self):
+        ga = seq_io.read_genomes_from_fasta(
+            os.path.join(GOLDEN, "identify_a.fasta"))
+        gb = seq_io.read_genomes_from_fasta(
+            os.path.join(GOLDEN, "identify_b.fasta"))
+        scf = SetCoverFilter(mismatches=0, lcf_thres=60, identify=True,
+                             coverage=0.5)
+        d = ProbeDesigner([ga, gb], [DuplicateFilter(), scf],
+                          probe_length=60, probe_stride=30)
+        d.design()
+        got = {p.seq_str for p in d.final_probes}
+        want = self._seqs(os.path.join(GOLDEN, "ref_identify_m0.fasta"))
+        self.assertEqual(len(want), 8)
+        self.assertEqual(got, want)
+
+    def test_avoid_exact_probe_set(self):
+        gt = seq_io.read_genomes_from_fasta(
+            os.path.join(GOLDEN, "avoid_target.fasta"))
+        scf = SetCoverFilter(
+            mismatches=0, lcf_thres=60,
+            avoided_genomes=[os.path.join(GOLDEN, "avoid_bg.fasta")])
+        d = ProbeDesigner([gt], [DuplicateFilter(), scf],
+                          probe_length=60, probe_stride=30)
+        d.design()
+        got = {p.seq_str for p in d.final_probes}
+        want = self._seqs(os.path.join(GOLDEN, "ref_avoid_m0.fasta"))
+        self.assertEqual(len(want), 10)
+        self.assertEqual(got, want)
+
+
 class TestReferenceGoldenM2(unittest.TestCase):
     def test_count_and_coverage_parity(self):
         genomes, probes = _design(10, mismatches=2, lcf_thres=60,
