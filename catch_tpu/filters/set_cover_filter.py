@@ -295,15 +295,27 @@ class SetCoverFilter(BaseFilter):
         rank_idx = np.searchsorted(rank_vals, ranks).astype(np.int32)
         costs = np.ones(len(rank_idx), dtype=np.float32)
         t0 = _time.time()
-        try:
-            r = scan_instance.scan_to_boundary_instance(
-                searcher, sequences, seq_univ, seq_off, seq_len,
-                len(target_genomes), self.cover_extension, universe_p,
-                rank_idx, len(rank_vals), costs, pid_of)
-        except Exception:
-            logger.exception("Device instance pipeline failed; falling "
-                             "back to the host path")
-            return None
+        r = None
+        cand0 = searcher.stats["candidates"]
+        for attempt in range(2):
+            try:
+                searcher.stats["candidates"] = cand0
+                r = scan_instance.scan_to_boundary_instance(
+                    searcher, sequences, seq_univ, seq_off, seq_len,
+                    len(target_genomes), self.cover_extension,
+                    universe_p, rank_idx, len(rank_vals), costs, pid_of)
+                break
+            except Exception:
+                if attempt == 0:
+                    # Transient runtime faults (e.g. a dropped remote-
+                    # compile connection) are worth one retry before
+                    # paying for the much slower host scan.
+                    logger.exception("Device instance pipeline failed; "
+                                     "retrying once")
+                    continue
+                logger.exception("Device instance pipeline failed "
+                                 "again; falling back to the host path")
+                return None
         stats["scan_seconds"] += _time.time() - t0
         if r is None:
             return None

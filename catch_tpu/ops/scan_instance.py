@@ -99,6 +99,27 @@ def _next_pow2(x):
     return 1 if x <= 1 else 1 << int(x - 1).bit_length()
 
 
+def _gather_counts(scalars, devices):
+    """Read a list of device scalars back with ONE transfer per device
+    (each blocking scalar readback is a full runtime roundtrip; on a
+    tunneled runtime a roundtrip can stall for seconds, so a wave of N
+    counts must not cost N roundtrips)."""
+    if len(scalars) <= 1:
+        return [int(x) for x in scalars]
+    if len(devices) == 1:
+        return [int(v) for v in np.asarray(jnp.stack(scalars))]
+    by_dev = {}
+    for i, x in enumerate(scalars):
+        d = next(iter(x.devices()))
+        by_dev.setdefault(d, []).append(i)
+    out = [0] * len(scalars)
+    for idxs in by_dev.values():
+        vals = np.asarray(jnp.stack([scalars[i] for i in idxs]))
+        for i, v in zip(idxs, vals):
+            out[i] = int(v)
+    return out
+
+
 # ----------------------------------------------------------------------
 # Stage T: probe seed table
 # ----------------------------------------------------------------------
@@ -277,11 +298,11 @@ def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok", "nU",
+    static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok",
                      "ext"))
 def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
                  seq_starts, seq_ends, seq_lens, chrom_off, univ_of_seq,
-                 k_seed, lcf, *, L, K, C, cap, seed_req, fast_ok, nU,
+                 k_seed, lcf, nU, *, L, K, C, cap, seed_req, fast_ok,
                  ext):
     """Verify candidates [off, off+C) and emit instance-ready spans.
 
@@ -443,8 +464,8 @@ def _merge_jit(k, s, e, *, OUT):
     return _merge_runs(k.reshape(-1), s.reshape(-1), e.reshape(-1), OUT)
 
 
-@functools.partial(jax.jit, static_argnames=("OUT", "nU"))
-def _union_jit(k, s, e, *, OUT, nU):
+@functools.partial(jax.jit, static_argnames=("OUT",))
+def _union_jit(k, s, e, nU, *, OUT):
     """Universe-level union of merged pair intervals (key -> universe)."""
     ku = jnp.where(k < _I32MAX, k % nU, _I32MAX)
     return _merge_runs(ku, s, e, OUT)
@@ -455,10 +476,9 @@ def _union_jit(k, s, e, *, OUT, nU):
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("OUT", "P_CAP", "S_pad", "nU",
-                                    "nU_pad"))
-def _assemble_jit(k, s, e, offsets_univ, n_merged, *, OUT, P_CAP, S_pad,
-                  nU, nU_pad):
+                   static_argnames=("OUT", "P_CAP", "S_pad", "nU_pad"))
+def _assemble_jit(k, s, e, offsets_univ, n_merged, nU, *, OUT, P_CAP,
+                  S_pad, nU_pad):
     """Boundary-indexed solver arrays from merged (key, start, end).
 
     Returns (ivl_start_g, ivl_end_g, pair_bounds, set_bounds,
@@ -561,6 +581,13 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     # Mega corpus array: [L pad][seq0][L pad][seq1]...[tail pad].  The
     # tail covers both stage A's strided reads and stage C's L-window
     # gathers.
+    # Shape bucketing: every array whose size enters a jitted program
+    # is padded to a power-of-two bucket (corpus length, probe count,
+    # sequence count), and the universe count is passed as a traced
+    # scalar — so designs of different groups/clusters share compiled
+    # executables instead of paying a fresh server-side compile per
+    # exact shape (measured 30-70 s per distinct shape on a tunneled
+    # runtime; a clustered design has tens of distinct group shapes).
     n_seqs = len(sequences)
     seq_lens = np.asarray([len(x) for x in sequences], dtype=np.int64)
     starts = np.empty(n_seqs, dtype=np.int64)
@@ -575,16 +602,34 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     tail = max(L, slab_q * s * n_slabs + kj - total) + 8
     if total + tail > np.iinfo(np.int32).max:
         return None
-    mega = np.zeros(total + tail, dtype=np.uint8)
+    mega_len = _next_pow2(total + tail)
+    mega = np.zeros(mega_len, dtype=np.uint8)
     for i, x in enumerate(sequences):
         mega[starts[i]:starts[i] + seq_lens[i]] = searcher.alphabet.encode(
             encode.encode_bytes(x))
     ends = starts + seq_lens
 
+    # Padded sequence tables: pad rows behave as zero-length sequences
+    # at position `total` (never matched, never emit spans).
+    ns_pad = _next_pow2(n_seqs)
+    starts_p = np.full(ns_pad, total, dtype=np.int64)
+    starts_p[:n_seqs] = starts
+    ends_p = np.full(ns_pad, total, dtype=np.int64)
+    ends_p[:n_seqs] = ends
+    seq_lens_p = np.zeros(ns_pad, dtype=np.int64)
+    seq_lens_p[:n_seqs] = seq_lens
+    chrom_off_p = np.zeros(ns_pad, dtype=np.int64)
+    chrom_off_p[:n_seqs] = np.asarray(chrom_off)
+    seq_univ_p = np.zeros(ns_pad, dtype=np.int64)
+    seq_univ_p[:n_seqs] = np.asarray(seq_univ)
+
     perm = np.argsort(pid_of, kind="stable")
-    codes_perm = np.ascontiguousarray(searcher.probe_codes[perm])
-    lens_perm = np.ascontiguousarray(
-        searcher.probe_lens[perm].astype(np.int32))
+    P_pad = _next_pow2(max(P, 1))
+    codes_perm = np.zeros((P_pad, searcher.probe_codes.shape[1]),
+                          dtype=np.uint8)
+    codes_perm[:P] = searcher.probe_codes[perm]
+    lens_perm = np.zeros(P_pad, dtype=np.int32)
+    lens_perm[:P] = searcher.probe_lens[perm].astype(np.int32)
 
     # Mesh scale-out: stages A/B/C are embarrassingly parallel over
     # sample slabs / hit subranges / candidate chunks, so dispatches
@@ -609,11 +654,11 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     mega_dev = rep(mega)
     codes_dev = rep(codes_perm)
     lens_dev = rep(lens_perm)
-    seq_starts_dev = rep(starts.astype(np.int32))
-    seq_ends_dev = rep(ends.astype(np.int32))
-    seq_lens_dev = rep(seq_lens.astype(np.int32))
-    chrom_off_dev = rep(np.asarray(chrom_off, dtype=np.int32))
-    univ_of_seq_dev = rep(np.asarray(seq_univ, dtype=np.int32))
+    seq_starts_dev = rep(starts_p.astype(np.int32))
+    seq_ends_dev = rep(ends_p.astype(np.int32))
+    seq_lens_dev = rep(seq_lens_p.astype(np.int32))
+    chrom_off_dev = rep(chrom_off_p.astype(np.int32))
+    univ_of_seq_dev = rep(seq_univ_p.astype(np.int32))
 
     with maybe_trace("scan_instance"):
         return _run_pipeline(
@@ -646,12 +691,14 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
 
     t0 = _time.time()
     P = len(searcher.probes)
+    P_pad = codes_perm.shape[0]
     # Stage T: probe rows flattened with kj-PAD gaps (see
-    # _build_table_jit for why 1-D).
+    # _build_table_jit for why 1-D).  Pad probe rows are all-PAD, so
+    # they contribute no table entries.
     row = L + kj
-    flat = np.zeros(P * row + kj - 1, dtype=np.uint8)
-    flat[:P * row].reshape(P, row)[:, :L] = codes_perm
-    TBL = _next_pow2(P * row)
+    flat = np.zeros(P_pad * row + kj - 1, dtype=np.uint8)
+    flat[:P_pad * row].reshape(P_pad, row)[:, :L] = codes_perm
+    TBL = _next_pow2(P_pad * row)
     tbl = _build_table_jit(jnp.asarray(flat), kj=kj, row=row, TBL=TBL)
     if devices[0] is None:
         tbl_by_dev = [tbl]
@@ -724,8 +771,13 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
                 T=_T_SLAB, Q=slab_q, CAP=_PAIR_CAP, s=s)
             pending_b.append((di, lo, cnt, g0, i0, i1, p_c, a_c,
                               n_pairs))
-    for di, lo, cnt, g0, i0, i1, p_c, a_c, n_pairs in pending_b:
-        n = int(n_pairs)
+    # One batched readback of every subrange's pair count (each
+    # blocking scalar readback is a full tunnel roundtrip and the
+    # roundtrips are stall-prone; see PROFILE.md "measurement
+    # discipline").
+    counts_b = _gather_counts([x[8] for x in pending_b], devices)
+    for (di, lo, cnt, g0, i0, i1, p_c, a_c, n_pairs), n in zip(
+            pending_b, counts_b):
         cap = _PAIR_CAP
         while n > cap:   # rare overflow: re-run with a bigger buffer
             cap = _next_pow2(n)
@@ -774,8 +826,8 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             seq_ends_dev[di], seq_lens_dev[di],
             chrom_off_dev[di], univ_of_seq_dev[di],
             jnp.int32(k_seed), jnp.int32(searcher.lcf_static),
-            L=L, K=K, C=C, cap=cap, seed_req=seed_req,
-            fast_ok=searcher.fast_ok, nU=nU, ext=ext)
+            jnp.int32(nU), L=L, K=K, C=C, cap=cap, seed_req=seed_req,
+            fast_ok=searcher.fast_ok, ext=ext)
 
     chunks = [(di, p_c, a_c, n, off)
               for (di, p_c, a_c, n) in pair_bufs
@@ -789,8 +841,9 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
         for (di, p_c, a_c, n, off) in chunks[w0:w0 + wave]:
             pend.append((di, p_c, a_c, n, off,
                          _dispatch_c(di, p_c, a_c, n, off, _SPAN_CAP)))
-        for (di, p_c, a_c, n, off, (key, us, ue, nq)) in pend:
-            nqi = int(nq)
+        counts_c = _gather_counts([x[5][3] for x in pend], devices)
+        for (di, p_c, a_c, n, off, (key, us, ue, nq)), nqi in zip(
+                pend, counts_c):
             cap = _SPAN_CAP
             while nqi > cap:   # rare overflow: re-run wider
                 cap = _next_pow2(nqi)
@@ -841,11 +894,12 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
         return None
 
     # Universe unions -> u_size / u_span on host (tiny readback)
-    uk, us_, ue_, n_u_runs = _union_jit(mk, ms, me, OUT=_UNION_CAP, nU=nU)
+    uk, us_, ue_, n_u_runs = _union_jit(mk, ms, me, jnp.int32(nU),
+                                        OUT=_UNION_CAP)
     nur = int(n_u_runs)
     if nur > _UNION_CAP:
         uk, us_, ue_, n_u_runs = _union_jit(
-            mk, ms, me, OUT=_next_pow2(nur), nU=nU)
+            mk, ms, me, jnp.int32(nU), OUT=_next_pow2(nur))
         nur = int(n_u_runs)
     ukh = np.asarray(uk[:nur]).astype(np.int64)
     ush = np.asarray(us_[:nur]).astype(np.int64)
@@ -864,14 +918,17 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     universe_p = np.asarray(universe_p, dtype=np.float64)
     can_uncover = (u_size - universe_p * u_size).astype(np.int64)
 
-    # Stage E: assembly
-    S_pad = _next_pow2(P + 1)
+    # Stage E: assembly (S_pad bucketed by the padded probe count so
+    # the program is shared across groups)
+    S_pad = _next_pow2(P_pad + 1)
     nU_pad = _next_pow2(nU + 1)
     P_CAP = OUT
-    offsets_dev = jnp.asarray(offsets[:nU].astype(np.int32))
+    off_pad = np.zeros(nU_pad, dtype=np.int32)
+    off_pad[:nU] = offsets[:nU]
+    offsets_dev = jnp.asarray(off_pad)
     (gs, ge, pb, set_bounds, univ_of_pair, n_pairs_d, mp, mi) = \
         _assemble_jit(mk, ms, me, offsets_dev, jnp.int32(n_merged),
-                      OUT=OUT, P_CAP=P_CAP, S_pad=S_pad, nU=nU,
+                      jnp.int32(nU), OUT=OUT, P_CAP=P_CAP, S_pad=S_pad,
                       nU_pad=nU_pad)
     max_pairs = _next_pow2(int(mp))
     max_ivls = _next_pow2(int(mi))

@@ -297,7 +297,8 @@ def test_union_group_longer_than_union_cap():
     s[1:] = 5 * np.arange(1, n, dtype=np.int32)
     e[1:] = s[1:] + 2
     uk, us, ue, nr = scan_instance._union_jit(
-        jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), OUT=out_w, nU=nU)
+        jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), jnp.int32(nU),
+        OUT=out_w)
     assert int(nr) == 1
     assert (int(uk[0]), int(us[0]), int(ue[0])) == (1, 0, 50000)
 
