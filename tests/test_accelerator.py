@@ -44,6 +44,19 @@ print(json.dumps({
 """
 
 
+def test_parity_hash_current():
+    """bench.py's committed accelerator-parity golden must equal what
+    the CPU host path produces today — this is what keeps the bench's
+    accel_parity check honest without a live CPU run per bench."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    got, n = bench.accel_parity_hash(instance_mode="host")
+    assert n > 0
+    assert got == bench.ACCEL_PARITY_SHA
+
+
 @pytest.mark.skipif(
     not os.environ.get("CATCH_TPU_RUN_ACCEL_TEST"),
     reason="accelerator parity test is opt-in "
