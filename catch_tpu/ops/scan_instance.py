@@ -597,7 +597,11 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
         pos += int(ln) + L
     total = pos
     n_samples = (total + s - 1) // s
-    slab_q = _SLAB_SAMPLES
+    # Slab width bucketed to the workload: a small group must not pay
+    # for full-width slabs (hashing + lookup scale with the slab, and
+    # a clustered design has many small groups).  Power-of-two buckets
+    # keep the compiled-program count logarithmic.
+    slab_q = min(_SLAB_SAMPLES, _next_pow2(n_samples))
     n_slabs = max(1, -(-n_samples // slab_q))
     tail = max(L, slab_q * s * n_slabs + kj - total) + 8
     if total + tail > np.iinfo(np.int32).max:
@@ -710,7 +714,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
 
     # Stage A over sample slabs, round-robin over the mesh devices
     n_last = total - kj  # last valid kj-mer start position
-    slab_q = _SLAB_SAMPLES
+    slab_q = min(_SLAB_SAMPLES, _next_pow2(n_samples))
     slabs = []
     for si, g0 in enumerate(range(0, n_samples, slab_q)):
         di = si % n_dev
@@ -739,9 +743,12 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
         slab_total = int(grid[-1])
         if slab_total == 0:
             continue
-        # Split the sample range so each piece expands <= _T_SLAB hits
+        # Expansion width bucketed to this slab's hit count (small
+        # groups must not sort 4M-wide buffers for 100k hits).
+        T_eff = min(_T_SLAB, max(1 << 16, _next_pow2(slab_total)))
+        # Split the sample range so each piece expands <= T_eff hits
         # (75% target leaves headroom for grid-cell granularity).
-        n_parts = max(1, -(-slab_total // (_T_SLAB * 3 // 4)))
+        n_parts = max(1, -(-slab_total // (T_eff * 3 // 4)))
         if n_parts == 1:
             bounds = [0, slab_q]
         else:
@@ -759,7 +766,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             sub_total = hits_before(i1) - hits_before(i0)
             if sub_total == 0:
                 continue
-            if sub_total > _T_SLAB:
+            if sub_total > T_eff:
                 logger.warning("Expansion subrange still exceeds the "
                                "hit slab; falling back to host scan")
                 return None
@@ -768,23 +775,23 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             p_c, a_c, n_pairs = _stage_b_jit(
                 lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
                 tbl_by_dev[di][1], tbl_by_dev[di][2],
-                T=_T_SLAB, Q=slab_q, CAP=_PAIR_CAP, s=s)
-            pending_b.append((di, lo, cnt, g0, i0, i1, p_c, a_c,
+                T=T_eff, Q=slab_q, CAP=T_eff, s=s)
+            pending_b.append((di, lo, cnt, g0, i0, i1, T_eff, p_c, a_c,
                               n_pairs))
     # One batched readback of every subrange's pair count (each
     # blocking scalar readback is a full tunnel roundtrip and the
     # roundtrips are stall-prone; see PROFILE.md "measurement
     # discipline").
-    counts_b = _gather_counts([x[8] for x in pending_b], devices)
-    for (di, lo, cnt, g0, i0, i1, p_c, a_c, n_pairs), n in zip(
+    counts_b = _gather_counts([x[9] for x in pending_b], devices)
+    for (di, lo, cnt, g0, i0, i1, T_eff, p_c, a_c, n_pairs), n in zip(
             pending_b, counts_b):
-        cap = _PAIR_CAP
+        cap = T_eff
         while n > cap:   # rare overflow: re-run with a bigger buffer
             cap = _next_pow2(n)
             p_c, a_c, n_pairs = _stage_b_jit(
                 lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
                 tbl_by_dev[di][1], tbl_by_dev[di][2],
-                T=_T_SLAB, Q=slab_q, CAP=cap, s=s)
+                T=T_eff, Q=slab_q, CAP=cap, s=s)
             n = int(n_pairs)
         if n:
             pair_bufs.append((di, p_c, a_c, n))
@@ -800,26 +807,24 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     chunk_accum = []
     span_total = 0
 
-    d1_out = _next_pow2(_BATCH_CHUNKS * _SPAN_CAP)
-
     def flush_batch():
         nonlocal chunk_accum
         if not chunk_accum:
             return
-        n_pad = _BATCH_CHUNKS - len(chunk_accum)
+        n_acc = _next_pow2(len(chunk_accum))
+        n_pad = n_acc - len(chunk_accum)
         ks = jnp.stack([x[0] for x in chunk_accum]
                        + [jnp.full((_SPAN_CAP,), _I32MAX, jnp.int32)] * n_pad)
         ss = jnp.stack([x[1] for x in chunk_accum]
                        + [jnp.zeros((_SPAN_CAP,), jnp.int32)] * n_pad)
         es = jnp.stack([x[2] for x in chunk_accum]
                        + [jnp.zeros((_SPAN_CAP,), jnp.int32)] * n_pad)
-        mk, ms, me, _ = _merge_jit(ks, ss, es, OUT=d1_out)
+        mk, ms, me, _ = _merge_jit(ks, ss, es,
+                                   OUT=_next_pow2(n_acc * _SPAN_CAP))
         merged_bufs.append((mk, ms, me))
         chunk_accum = []
 
-    C = _C_CHUNK
-
-    def _dispatch_c(di, p_c, a_c, n, off, cap):
+    def _dispatch_c(di, p_c, a_c, n, off, C, cap):
         return _stage_c_jit(
             mega_dev[di], codes_dev[di], lens_dev[di], p_c, a_c,
             jnp.int32(off), jnp.int32(n), seq_starts_dev[di],
@@ -829,25 +834,35 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             jnp.int32(nU), L=L, K=K, C=C, cap=cap, seed_req=seed_req,
             fast_ok=searcher.fast_ok, ext=ext)
 
-    chunks = [(di, p_c, a_c, n, off)
-              for (di, p_c, a_c, n) in pair_bufs
-              for off in range(0, n, C)]
+    # Chunk width bucketed per pair buffer (a 100k-pair group must not
+    # verify at full chunk width); a narrower chunk also gets a
+    # narrower span cap and is merged alone (the fixed-width batcher
+    # only stacks _SPAN_CAP buffers).
+    chunks = []
+    for (di, p_c, a_c, n) in pair_bufs:
+        C_eff = min(_C_CHUNK, _next_pow2(n))
+        cap_eff = min(_SPAN_CAP, _next_pow2(C_eff * (K + 1)))
+        for off in range(0, n, C_eff):
+            chunks.append((di, p_c, a_c, n, off, C_eff, cap_eff))
     # Dispatch in waves (all devices busy before any count readback),
     # consume in chunk order so the merge sequence — and therefore the
     # instance — is identical at any device count.
     wave = _BATCH_CHUNKS * max(2, n_dev)
     for w0 in range(0, len(chunks), wave):
         pend = []
-        for (di, p_c, a_c, n, off) in chunks[w0:w0 + wave]:
+        for (di, p_c, a_c, n, off, C_eff, cap_eff) in chunks[w0:w0 + wave]:
             pend.append((di, p_c, a_c, n, off,
-                         _dispatch_c(di, p_c, a_c, n, off, _SPAN_CAP)))
+                         _dispatch_c(di, p_c, a_c, n, off, C_eff,
+                                     cap_eff)))
         counts_c = _gather_counts([x[5][3] for x in pend], devices)
-        for (di, p_c, a_c, n, off, (key, us, ue, nq)), nqi in zip(
-                pend, counts_c):
-            cap = _SPAN_CAP
+        for ((di, p_c, a_c, n, off, (key, us, ue, nq)),
+             nqi, (_, _, _, _, _, C_eff, cap_eff)) in zip(
+                pend, counts_c, chunks[w0:w0 + wave]):
+            cap = cap_eff
             while nqi > cap:   # rare overflow: re-run wider
                 cap = _next_pow2(nqi)
-                key, us, ue, nq = _dispatch_c(di, p_c, a_c, n, off, cap)
+                key, us, ue, nq = _dispatch_c(di, p_c, a_c, n, off,
+                                              C_eff, cap)
                 nqi = int(nq)
             if nqi == 0:
                 continue
