@@ -54,9 +54,8 @@ def _jaccard_dist_from_mash_dist(mash_dist, k):
     return 1.0 - 1.0 / (2.0 * np.exp(k * mash_dist) - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
-def _row_dists_kernel(sigs, j, *, N):
-    """Jaccard distances of signature j against all signatures.
+def _pair_dists(A, sigs, N):
+    """Jaccard distances of signature A against every row of sigs.
 
     Implements the reference's sorted-merge estimator with the
     union-rank cap at N: a shared hash value v (present in both
@@ -64,8 +63,6 @@ def _row_dists_kernel(sigs, j, *, N):
     + 1) is <= N.  With both signatures of length N the union scan
     always consumes exactly N values, so the denominator is N.
     """
-    A = sigs[j]
-
     def pair(B):
         idx = jnp.searchsorted(A, B)
         is_match = (idx < N) & (A[jnp.minimum(idx, N - 1)] == B)
@@ -78,8 +75,76 @@ def _row_dists_kernel(sigs, j, *, N):
     return jax.vmap(pair)(sigs)
 
 
+@functools.partial(jax.jit, static_argnames=("N",))
+def _row_dists_kernel(sigs, j, *, N):
+    """Distances of signature j against all signatures."""
+    return _pair_dists(sigs[j], sigs, N)
+
+
+@functools.partial(jax.jit, static_argnames=("N", "B"))
+def _block_dists_kernel(sigs, j0, *, N, B):
+    """Distances of signatures [j0, j0+B) against all signatures —
+    the all-pairs matrix is computed in B-row blocks so the host pays
+    ~n/B device roundtrips instead of one per explored row (each
+    roundtrip is stall-prone on a tunneled runtime).
+
+    The estimator is evaluated as a lax.scan over the N signature
+    columns with broadcast compare-reduces per step — pure vector-unit
+    work.  (The per-pair searchsorted form lowers to scalar gather
+    loops on TPU: measured ~8 us per pair, i.e. minutes for one
+    all-pairs matrix, vs < 1 s in this form.)  Per column j of a
+    signature Bsig, the union rank of Bsig[j] is #A<v + j - #shared
+    before j + 1; the value counts iff shared and rank <= N — exactly
+    the sorted-merge walk of _pair_dists.
+    """
+    n = sigs.shape[0]
+    blk = jax.lax.dynamic_slice(sigs, (j0, 0), (B, N))
+    A = blk[:, None, :]                      # (B, 1, N)
+
+    def step(carry, col):
+        cm, cap, j = carry
+        Bj = col[None, :, None]              # (1, n, 1)
+        lt = jnp.sum(A < Bj, axis=-1, dtype=jnp.int32)   # (B, n)
+        eq = jnp.any(A == Bj, axis=-1)                   # (B, n)
+        ok = eq & (lt + j - cm + 1 <= N)
+        return (cm + eq.astype(jnp.int32),
+                cap + ok.astype(jnp.int32), j + 1), None
+
+    init = (jnp.zeros((B, n), jnp.int32), jnp.zeros((B, n), jnp.int32),
+            jnp.int32(0))
+    (cm, cap, _), _ = jax.lax.scan(step, init, sigs.T)
+    return 1.0 - cap.astype(jnp.float32) / N
+
+
+@functools.partial(jax.jit, static_argnames=("N", "B"))
+def _block_codes_kernel(sigs, j0, cap_thr, cap_early, *, N, B):
+    """Thresholded adjacency codes for rows [j0, j0+B): 0 = farther
+    than the clustering threshold, 1 = within it, 2 = within the
+    early-stop threshold.  Thresholds arrive as minimum capped-
+    intersection counts (exact integer comparisons — no float32/64
+    boundary mismatches against the row kernel's float distances), so
+    the readback is n^2 bytes instead of 4*n^2.
+    """
+    d = _block_dists_kernel(sigs, j0, N=N, B=B)
+    cap = jnp.round((1.0 - d) * N).astype(jnp.int32)
+    return ((cap >= cap_thr).astype(jnp.uint8)
+            + (cap >= cap_early).astype(jnp.uint8))
+
+
+def _min_cap(N, thr):
+    """Smallest capped-intersection count whose float32 distance
+    1 - cap/N is <= thr under the row kernel's float comparison —
+    keeps the integer-coded path bit-consistent with it."""
+    d32 = (np.float32(1.0)
+           - np.arange(N + 1, dtype=np.float32) / np.float32(N))
+    ok = np.flatnonzero(d32.astype(np.float64) <= thr)
+    return int(ok[0]) if len(ok) else N + 1
+
+
 class _DeviceDistances:
-    """Device-resident signature matrix with row-at-a-time distances."""
+    """Device-resident signature matrix with batched distances."""
+
+    _BLOCK = 256
 
     def __init__(self, signatures):
         self.n = len(signatures)
@@ -87,11 +152,47 @@ class _DeviceDistances:
         mat = np.asarray(signatures, dtype=np.int64)
         # Hash values are < 2^31 - 1; int32 is exact
         self.sigs = jnp.asarray(mat.astype(np.int32))
+        self._pad = None
 
     def row(self, j):
         """Distances of signature j to all signatures (np.float32[n])."""
         return np.asarray(_row_dists_kernel(self.sigs, jnp.int32(j),
                                             N=self.N))
+
+    def _padded(self):
+        B = min(self._BLOCK, max(1, self.n))
+        if self._pad is None:
+            n_pad = -(-self.n // B) * B
+            if n_pad != self.n:
+                pad = jnp.tile(self.sigs[:1], (n_pad - self.n, 1))
+                self._pad = jnp.concatenate([self.sigs, pad])
+            else:
+                self._pad = self.sigs
+        return self._pad, B
+
+    def full_matrix(self):
+        """The full (n, n) distance matrix, computed in row blocks."""
+        sigs_pad, B = self._padded()
+        n_pad = sigs_pad.shape[0]
+        out = np.empty((n_pad, n_pad), dtype=np.float32)
+        for j0 in range(0, n_pad, B):
+            out[j0:j0 + B] = np.asarray(_block_dists_kernel(
+                sigs_pad, jnp.int32(j0), N=self.N, B=B))
+        return out[:self.n, :self.n]
+
+    def code_matrix(self, threshold, early_stop):
+        """(n, n) uint8 adjacency codes (see _block_codes_kernel) —
+        the 1-byte readback form the connected-components DFS needs."""
+        sigs_pad, B = self._padded()
+        n_pad = sigs_pad.shape[0]
+        cap_thr = jnp.int32(_min_cap(self.N, threshold))
+        cap_early = jnp.int32(_min_cap(self.N, early_stop))
+        out = np.empty((n_pad, n_pad), dtype=np.uint8)
+        for j0 in range(0, n_pad, B):
+            out[j0:j0 + B] = np.asarray(_block_codes_kernel(
+                sigs_pad, jnp.int32(j0), cap_thr, cap_early,
+                N=self.N, B=B))
+        return out[:self.n, :self.n]
 
 
 def cluster_hierarchically_from_dist_matrix(dist_matrix, threshold):
@@ -224,13 +325,30 @@ def cluster_with_minhash_signatures(seqs, k=12, N=100, threshold=0.1,
             "Clustering %d sequences at Jaccard distance threshold of %f "
             "based on connected components", num_seqs,
             jaccard_dist_threshold)
-        clusters = find_connected_components(num_seqs, dd.row,
-                                             jaccard_dist_threshold)
+        # Precompute all pairwise adjacency codes in a few block
+        # dispatches; the DFS then runs entirely on host pseudo-
+        # distances that reproduce its two threshold comparisons
+        # exactly (identical traversal, no per-row device roundtrips,
+        # 1-byte readback per pair).
+        early = _jaccard_dist_from_mash_dist(0.02, 12)
+        if num_seqs > 1:
+            codes = dd.code_matrix(jaccard_dist_threshold, early)
+            lut = np.array([2.0, jaccard_dist_threshold, 0.0],
+                           dtype=np.float64)
+            pseudo = lut[codes]
+            row_fn = lambda j: pseudo[j]  # noqa: E731
+        else:
+            row_fn = dd.row
+        clusters = find_connected_components(
+            num_seqs, row_fn, jaccard_dist_threshold,
+            early_stop_threshold=early)
     elif cluster_method == "hierarchical":
         logger.info(
             "Clustering %d sequences at Jaccard distance threshold of %f "
             "using hierarchical method", num_seqs, jaccard_dist_threshold)
-        dist_matrix = create_condensed_dist_matrix(num_seqs, dd.row)
+        dmat = dd.full_matrix()
+        dist_matrix = create_condensed_dist_matrix(
+            num_seqs, lambda j: dmat[j])
         clusters = cluster_hierarchically_from_dist_matrix(
             dist_matrix, jaccard_dist_threshold)
     else:

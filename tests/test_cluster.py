@@ -1,0 +1,92 @@
+"""MinHash clustering: estimator parity and clustering behavior.
+
+The reference exercises clustering via its cluster.py unit tests
+(signatures, Mash->Jaccard conversion, connected components with the
+early-stop heuristic, hierarchical linkage).  Here additionally the
+block-computed distance matrix must equal the row-at-a-time kernel
+(the connected-components DFS runs on the precomputed host matrix).
+"""
+
+import numpy as np
+
+from catch_tpu.utils import cluster, lsh
+
+
+def _family_seqs(rng, n_families, copies, length, family_mut=0.35,
+                 copy_mut=0.01):
+    bases = np.array(list("ACGT"))
+    seqs = {}
+    for f in range(n_families):
+        base = rng.choice(bases, size=length)
+        for c in range(copies):
+            s = base.copy()
+            m = rng.random(length) < copy_mut
+            s[m] = rng.choice(bases, size=int(m.sum()))
+            seqs[f"f{f}c{c}"] = "".join(s)
+    return seqs
+
+
+def test_block_matrix_matches_row_kernel():
+    rng = np.random.default_rng(3)
+    seqs = _family_seqs(rng, 3, 7, 800)
+    family = lsh.MinHashFamily(12, N=50)
+    sig_map = cluster.make_signatures_with_minhash(family, seqs)
+    sigs = [sig_map[k] for k in seqs]
+    dd = cluster._DeviceDistances(sigs)
+    dd._BLOCK = 8          # force multiple blocks + row padding
+    full = dd.full_matrix()
+    assert full.shape == (len(sigs), len(sigs))
+    for j in range(len(sigs)):
+        assert np.allclose(full[j], dd.row(j)), j
+
+
+def test_code_matrix_matches_thresholded_floats():
+    """The integer-coded adjacency must equal thresholding the float
+    distances with the row kernel's comparison semantics."""
+    rng = np.random.default_rng(7)
+    seqs = _family_seqs(rng, 3, 6, 700, copy_mut=0.08)
+    family = lsh.MinHashFamily(12, N=40)
+    sig_map = cluster.make_signatures_with_minhash(family, seqs)
+    sigs = [sig_map[k] for k in seqs]
+    dd = cluster._DeviceDistances(sigs)
+    dd._BLOCK = 8
+    thr, early = 0.62, 0.30
+    codes = dd.code_matrix(thr, early)
+    full = dd.full_matrix().astype(np.float64)
+    want = (full <= thr).astype(np.uint8) + (full <= early).astype(np.uint8)
+    assert np.array_equal(codes, want)
+
+
+def test_simple_clustering_separates_families():
+    rng = np.random.default_rng(11)
+    seqs = _family_seqs(rng, 4, 10, 1200)
+    clusters = cluster.cluster_with_minhash_signatures(
+        seqs, threshold=0.15, cluster_method="simple")
+    assert len(clusters) == 4
+    for c in clusters:
+        fams = {name.split("c")[0] for name in c}
+        assert len(fams) == 1, "a cluster must hold one family"
+    assert sum(len(c) for c in clusters) == len(seqs)
+
+
+def test_hierarchical_clustering_separates_families():
+    rng = np.random.default_rng(13)
+    seqs = _family_seqs(rng, 3, 8, 1200)
+    clusters = cluster.cluster_with_minhash_signatures(
+        seqs, threshold=0.15, cluster_method="hierarchical")
+    assert len(clusters) == 3
+    for c in clusters:
+        fams = {name.split("c")[0] for name in c}
+        assert len(fams) == 1
+
+
+def test_single_sequence():
+    clusters = cluster.cluster_with_minhash_signatures(
+        {"only": "ACGT" * 50}, threshold=0.15, cluster_method="simple")
+    assert clusters == [["only"]]
+
+
+def test_jaccard_from_mash_reference_values():
+    # Eq. 4 of Ondov et al. 2016 at the reference's default k=12
+    got = cluster._jaccard_dist_from_mash_dist(0.02, 12)
+    assert abs(got - (1.0 - 1.0 / (2.0 * np.exp(0.24) - 1.0))) < 1e-12
