@@ -72,41 +72,70 @@ class Analyzer:
     def _find_covers_in_target_genomes(self):
         """Fill self.target_covers[i][j][rc] with (possibly duplicate)
         extended cover intervals in genome-global coordinates, and
-        self.probe_map_counts with per-probe sequence counts."""
+        self.probe_map_counts with per-probe sequence counts.
+
+        All strands of all genomes (forward and reverse complement) go
+        through ONE batched corpus scan (find_probe_covers_flat) — the
+        reference loops sequences through its process pool here
+        (coverage_analysis.py:183-269); per-strand results fall out of
+        the flat span arrays by grouping.  Downstream consumers are
+        order-insensitive, so the output is unchanged vs the
+        per-sequence loop.
+        """
         logger.info("Finding probe covers across target genomes")
         searcher = ProbeSearcher(self.probes, self.model,
                                  kmer_probe_map_k=self.kmer_probe_map_k)
 
+        strands = []           # every scanned sequence, both strands
+        strand_meta = []       # (i, j, rc, genome-global offset)
         self.target_covers = {}
-        self.probe_map_counts = Counter()
         for i, j, gnm, rc in self._iter_target_genomes():
-            if not rc:
-                logger.info(
-                    "Computing coverage in grouping %d (of %d), with "
-                    "target genome %d (of %d)", i + 1,
-                    len(self.target_genomes), j + 1,
-                    len(self.target_genomes[i]))
             self.target_covers.setdefault(i, {}).setdefault(
                 j, {False: None, True: None})
-
-            gnm_covers = []
+            self.target_covers[i][j][rc] = []
             length_so_far = 0
             for sequence in gnm.seqs:
                 if rc:
                     sequence = "".join(
                         _RC_MAP.get(b, b) for b in sequence[::-1])
-                probe_cover_ranges = searcher.find_probe_covers(
-                    sequence, merge_overlapping=False)
-                for p, cover_ranges in probe_cover_ranges.items():
-                    if not rc:
-                        self.probe_map_counts[p] += 1
-                    for (cs, ce) in cover_ranges:
-                        cs = max(0, cs - self.cover_extension)
-                        ce = min(len(sequence), ce + self.cover_extension)
-                        gnm_covers.append((cs + length_so_far,
-                                           ce + length_so_far))
+                strands.append(sequence)
+                strand_meta.append((i, j, rc, length_so_far))
                 length_so_far += len(sequence)
-            self.target_covers[i][j][rc] = gnm_covers
+
+        self.probe_map_counts = Counter()
+        if not strands or searcher.empty:
+            return
+        p_idx, s_idx, st, en = searcher.find_probe_covers_flat(strands)
+        if len(p_idx) == 0:
+            return
+        # Identical spans of one probe in one strand count once (the
+        # per-sequence path dedupes them via sorted(set(spans)))
+        o = np.lexsort((en, st, p_idx, s_idx))
+        p_idx, s_idx, st, en = p_idx[o], s_idx[o], st[o], en[o]
+        keep = np.concatenate([[True],
+                               (p_idx[1:] != p_idx[:-1])
+                               | (s_idx[1:] != s_idx[:-1])
+                               | (st[1:] != st[:-1])
+                               | (en[1:] != en[:-1])])
+        p_idx, s_idx, st, en = (p_idx[keep], s_idx[keep], st[keep],
+                                en[keep])
+        seq_len = np.array([len(s) for s in strands], dtype=np.int64)
+        off = np.array([m[3] for m in strand_meta], dtype=np.int64)
+        cs = np.maximum(0, st - self.cover_extension) + off[s_idx]
+        ce = (np.minimum(seq_len[s_idx], en + self.cover_extension)
+              + off[s_idx])
+
+        order = np.argsort(s_idx, kind="stable")
+        bounds = np.searchsorted(s_idx[order],
+                                 np.arange(len(strands) + 1))
+        for k, (i, j, rc, _) in enumerate(strand_meta):
+            sl = order[bounds[k]:bounds[k + 1]]
+            self.target_covers[i][j][rc].extend(
+                zip(cs[sl].tolist(), ce[sl].tolist()))
+            if not rc:
+                # one count per probe per sequence it maps to
+                for p_row in np.unique(p_idx[sl]):
+                    self.probe_map_counts[searcher.probes[p_row]] += 1
 
     def _compute_bp_covered_in_target_genomes(self):
         logger.info("Computing bases covered across target genomes")

@@ -150,3 +150,51 @@ class TestAnalyzerCoversWithoutReverseComplement:
             ["Genome", "Num bases covered\n[over unambig]",
              "Average coverage/depth\n[over unambig]"],
             ["g_a, genome 0", "23 (100.00%) [104.55%]", "1.57 [1.64]"]]
+
+
+class TestAnalyzerBatchedScanParity:
+    """The one-call batched scan must produce the same analysis as
+    per-sequence scanning (the flat path dedupes identical spans per
+    (probe, strand) exactly as _group_spans does)."""
+
+    def test_batched_matches_per_sequence(self, monkeypatch):
+        import numpy as np
+        from catch_tpu.ops import cover as cover_mod
+
+        rng = np.random.default_rng(42)
+        bases = np.array(list("ACGT"))
+        genomes = []
+        base = rng.choice(bases, size=3000)
+        for _ in range(4):
+            seq = base.copy()
+            m = rng.random(3000) < 0.02
+            seq[m] = rng.choice(bases, size=int(m.sum()))
+            genomes.append(Genome.from_one_seq("".join(seq)))
+        probes = [Probe.from_str("".join(base[i:i + 75]))
+                  for i in range(0, 2900, 150)]
+
+        def run(force_batch):
+            orig = cover_mod.ProbeSearcher.find_probe_covers_flat
+
+            def flat(self, sequences, **kw):
+                return orig(self, sequences, force_batch=force_batch)
+
+            monkeypatch.setattr(cover_mod.ProbeSearcher,
+                                "find_probe_covers_flat", flat)
+            a = Analyzer(probes, mismatches=2, lcf_thres=60,
+                         target_genomes=[genomes], cover_extension=20)
+            a.run()
+            monkeypatch.setattr(cover_mod.ProbeSearcher,
+                                "find_probe_covers_flat", orig)
+            return a
+
+        a1 = run(True)
+        a2 = run(False)
+        for i, j, gnm, rc in a1._iter_target_genomes():
+            assert Counter(a1.target_covers[i][j][rc]) == \
+                Counter(a2.target_covers[i][j][rc]), (i, j, rc)
+            assert a1.bp_covered[i][j][rc] == a2.bp_covered[i][j][rc]
+            assert a1.average_coverage[i][j][rc] == \
+                a2.average_coverage[i][j][rc]
+        assert a1.probe_map_counts == a2.probe_map_counts
+        assert sum(a1.probe_map_counts.values()) > 0
