@@ -311,6 +311,15 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     device and qualifying spans leave in universe-local coordinates
     with cover extension applied, as (pair_key = probe * nU + universe,
     start, end) with sentinel keys beyond the qualifying count nq.
+
+    The window is indexed ALIGNMENT-relative (position i compares
+    mega[a+i] against probe[i], with the clipped overlap [i_lo, i_hi)
+    as a per-row validity band) so the probe side is a plain row
+    gather.  The earlier start-relative form needed a per-element
+    take_along_axis shift of the probe rows — ~16x slower than the row
+    gather on TPU and the single largest cost of the verify phase.
+    The corpus pad before the first sequence is wide enough that every
+    alignment is a valid (nonnegative) gather base.
     """
     i = off + jnp.arange(C, dtype=jnp.int32)
     vmask = i < n_pairs
@@ -330,15 +339,16 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     n_seq = s_hi - s_lo
     thres = jnp.minimum(jnp.minimum(lcf, plen), n_seq)
     thres = jnp.where(vmask, thres, 0)
-    poff0 = start - a
+    i_lo = start - a                    # >= 0 by the leading pad
+    i_hi = jnp.maximum(en - a, i_lo)
 
     jL = jnp.arange(L, dtype=jnp.int32)
     t_cols = L + 1
-    seq_vals = mega[start[:, None] + jL[None, :]]
-    probe_vals = jnp.take_along_axis(
-        codes_perm[pg], jnp.minimum(poff0[:, None] + jL[None, :], L - 1),
-        axis=1)
-    validj = jL[None, :] < ov[:, None]
+    abase = jnp.clip(a, 0, mega.shape[0] - L)
+    seq_vals = mega[abase[:, None] + jL[None, :]]
+    probe_vals = codes_perm[pg]
+    validj = ((jL[None, :] >= i_lo[:, None])
+              & (jL[None, :] < i_hi[:, None]))
     match = (seq_vals == probe_vals) & (seq_vals > 0) & validj
 
     if fast_ok:
@@ -352,16 +362,17 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
 
     mism = validj & ~match
     nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
-    # Sentinel-padded sorted mismatch positions: P[:, 0] = -1, then the
-    # mismatch positions ascending, then ov.  Built with a row-wise
-    # sort — a 2D scatter here serialized on TPU (~0.5 s per chunk).
+    # Sentinel-padded sorted mismatch positions: P[:, 0] = i_lo - 1,
+    # then the mismatch positions ascending, then i_hi.  Built with a
+    # row-wise sort — a 2D scatter here serialized on TPU (~0.5 s per
+    # chunk).
     big = jnp.int32(1 << 30)
     sv = jnp.sort(jnp.where(mism, jL[None, :], big), axis=1)
     body = jnp.concatenate(
         [sv, jnp.full((C, K + 1), big, jnp.int32)], axis=1)[:, :L + K + 1]
-    body = jnp.where(body >= big, ov[:, None], body)
+    body = jnp.where(body >= big, i_hi[:, None], body)
     P = jnp.concatenate(
-        [jnp.full((C, 1), -1, jnp.int32), body], axis=1)
+        [(i_lo - 1)[:, None], body], axis=1)
 
     lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
     runs = P[:, 1:] - P[:, :-1] - 1
@@ -382,12 +393,12 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     tc = jnp.maximum(ts, 0)
     if fast_ok:
         sp_s = jnp.where(is_fast[rc], start[rc],
-                         P[rc, tc] + 1 + start[rc])
+                         P[rc, tc] + 1 + a[rc])
         sp_e = jnp.where(is_fast[rc], start[rc] + ov[rc],
-                         P[rc, tc + K + 1] + start[rc])
+                         P[rc, tc + K + 1] + a[rc])
     else:
-        sp_s = P[rc, tc] + 1 + start[rc]
-        sp_e = P[rc, tc + K + 1] + start[rc]
+        sp_s = P[rc, tc] + 1 + a[rc]
+        sp_e = P[rc, tc + K + 1] + a[rc]
 
     # Instance coordinates: chromosome-local, extended, clamped, offset
     # into the genome (universe), keyed by (probe, universe).
@@ -591,7 +602,10 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     n_seqs = len(sequences)
     seq_lens = np.asarray([len(x) for x in sequences], dtype=np.int64)
     starts = np.empty(n_seqs, dtype=np.int64)
-    pos = L
+    # Leading pad of L + kj: the smallest alignment is
+    # first_start - (row - 1) = 1, so stage C's window gather base is
+    # always nonnegative (see _stage_c_jit).
+    pos = L + kj
     for i, ln in enumerate(seq_lens):
         starts[i] = pos
         pos += int(ln) + L

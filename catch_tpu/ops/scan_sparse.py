@@ -82,11 +82,20 @@ def _verify_core(mega, probe_codes_flat, pg, start, poff0, ov, thres,
     jL = jnp.arange(L, dtype=jnp.int32)
     t_cols = L + 1
 
-    seq_vals = mega[start[:, None] + jL[None, :]]              # (C, L)
-    probe_vals = jnp.take_along_axis(
-        probe_codes_flat[pg], jnp.minimum(poff0[:, None] + jL[None, :],
-                                          L - 1), axis=1)
-    validj = jL[None, :] < ov[:, None]
+    # Alignment-relative window: position i compares mega[a+i] against
+    # probe[i] with the clipped overlap [i_lo, i_hi) as the validity
+    # band, so the probe side is a plain row gather (the start-relative
+    # form needed a per-element take_along_axis shift — ~16x slower on
+    # TPU).  a >= 0 because the corpus leading pad is >= L-1 and
+    # candidates overlap their sequence.
+    a = start - poff0
+    i_lo = poff0
+    i_hi = poff0 + ov
+    abase = jnp.clip(a, 0, mega.shape[0] - L)
+    seq_vals = mega[abase[:, None] + jL[None, :]]              # (C, L)
+    probe_vals = probe_codes_flat[pg]
+    validj = ((jL[None, :] >= i_lo[:, None])
+              & (jL[None, :] < i_hi[:, None]))
     match = (seq_vals == probe_vals) & (seq_vals > 0) & validj
 
     if fast_ok:
@@ -100,17 +109,17 @@ def _verify_core(mega, probe_codes_flat, pg, start, poff0, ov, thres,
 
     mism = validj & ~match
     nm = jnp.sum(mism, axis=1, dtype=jnp.int32)
-    # Sentinel-padded sorted mismatch positions: P[c,0] = -1,
-    # P[c,1+r] = position of the r-th mismatch, rest = ov.  Built with
-    # a row-wise sort — the rank-scatter this replaces serialized on
-    # TPU (~0.5 s per chunk for a (C, L) scatter).
+    # Sentinel-padded sorted mismatch positions: P[c,0] = i_lo - 1,
+    # P[c,1+r] = position of the r-th mismatch, rest = i_hi.  Built
+    # with a row-wise sort — the rank-scatter this replaces serialized
+    # on TPU (~0.5 s per chunk for a (C, L) scatter).
     big = jnp.int32(1 << 30)
     sv = jnp.sort(jnp.where(mism, jL[None, :], big), axis=1)
     body = jnp.concatenate(
         [sv, jnp.full((C, K + 1), big, jnp.int32)], axis=1)[:, :L + K + 1]
-    body = jnp.where(body >= big, ov[:, None], body)
+    body = jnp.where(body >= big, i_hi[:, None], body)
     P = jnp.concatenate(
-        [jnp.full((C, 1), -1, jnp.int32), body], axis=1)
+        [(i_lo - 1)[:, None], body], axis=1)
 
     lenW = P[:, K + 1:K + 1 + t_cols] - P[:, :t_cols] - 1
     runs = P[:, 1:] - P[:, :-1] - 1
@@ -131,12 +140,12 @@ def _verify_core(mega, probe_codes_flat, pg, start, poff0, ov, thres,
     tc = jnp.maximum(ts, 0)
     if fast_ok:
         sp_s = jnp.where(is_fast[rc], start[rc],
-                         P[rc, tc] + 1 + start[rc])
+                         P[rc, tc] + 1 + a[rc])
         sp_e = jnp.where(is_fast[rc], start[rc] + ov[rc],
-                         P[rc, tc + K + 1] + start[rc])
+                         P[rc, tc + K + 1] + a[rc])
     else:
-        sp_s = P[rc, tc] + 1 + start[rc]
-        sp_e = P[rc, tc + K + 1] + start[rc]
+        sp_s = P[rc, tc] + 1 + a[rc]
+        sp_e = P[rc, tc + K + 1] + a[rc]
     return pg[rc], sp_s, sp_e, ok, nq
 
 
