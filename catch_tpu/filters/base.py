@@ -7,13 +7,20 @@ target_genomes, input_is_grouped, num_processes)`` with the
 introspection.
 
 Design difference: the reference parallelizes per-group ``_filter``
-calls across a fork-based process pool; here groups run sequentially on
-the host while the device executes the heavy per-group compute (the
-device is the parallel resource, and its queue is naturally serialized).
-``num_processes`` is accepted for API compatibility and ignored.
+calls across a fork-based process pool (base_filter.py:111-165); here
+host-bound filters run their groups on a THREAD pool (the vectorized
+numpy bodies release the GIL, so threads give real parallelism without
+fork semantics), while device-using filters take the
+``requires_probe_groupings`` path and use the device as the parallel
+resource.  Results are returned in input order regardless of
+completion order — the reference's determinism contract.
+``num_processes`` caps the pool as in the reference (min(cpu, 8)
+default).
 """
 
+from concurrent.futures import ThreadPoolExecutor
 import inspect
+import os
 
 __all__ = ["BaseFilter"]
 
@@ -52,13 +59,17 @@ class BaseFilter:
             return self._filter(input)
 
         if input_is_grouped:
-            out = []
-            for probes in input:
+            def one(probes):
                 if wants_genomes:
-                    out.append(self._filter(probes, target_genomes))
-                else:
-                    out.append(self._filter(probes))
-            return out
+                    return self._filter(probes, target_genomes)
+                return self._filter(probes)
+
+            if len(input) <= 1:
+                return [one(probes) for probes in input]
+            workers = num_processes or min(os.cpu_count() or 1, 8)
+            workers = max(1, min(workers, len(input)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                return list(pool.map(one, input))
         if wants_genomes:
             return self._filter(input, target_genomes)
         return self._filter(input)

@@ -40,17 +40,23 @@ class NearDuplicateFilter(BaseFilter):
                                reverse=True)]
         unique = list(occurrences.keys())
 
+        # A fresh identically-seeded family per call: every group draws
+        # the same hash functions (the reference's fork-pool semantics,
+        # where each worker inherits the same RNG state), and
+        # concurrent grouped calls never share mutable RNG state.
+        family = self._make_family()
+
         # Batched LSH engine: identical hash functions, buckets, and
         # exact re-check as the generic lookup, computed as matrix ops
         # (the generic per-probe path is ~L*k Python hash calls per
         # probe and dominated multi-Mbp designs).  Falls back to the
         # generic path for point sets it does not support.
         batched = lsh.BatchedNearNeighbor(
-            self.lsh_family, self.k, self.dist_thres,
+            family, self.k, self.dist_thres,
             self.reporting_prob, [p.seq_str for p in unique])
         if batched.supported():
             return self._sweep_batched(input_sorted, unique, batched)
-        return self._sweep_generic(input_sorted, unique)
+        return self._sweep_generic(input_sorted, unique, family)
 
     def _sweep_batched(self, input_sorted, unique, batched):
         """Greedy include/exclude over the batched neighbor engine:
@@ -74,9 +80,10 @@ class NearDuplicateFilter(BaseFilter):
         assert not np.any(included & excluded)
         return to_include
 
-    def _sweep_generic(self, input_sorted, unique):
+    def _sweep_generic(self, input_sorted, unique, family=None):
         nnl = lsh.NearNeighborLookup(
-            self.lsh_family, self.k, self.dist_thres, self.dist_fn,
+            family if family is not None else self._make_family(),
+            self.k, self.dist_thres, self.dist_fn,
             self.reporting_prob)
         nnl.add([p.seq_str for p in unique])
         by_seq = {p.seq_str: p for p in unique}
@@ -112,7 +119,7 @@ class NearDuplicateFilterWithHammingDistance(NearDuplicateFilter):
 
     def __init__(self, dist_thres, probe_length, seed=0):
         super().__init__(k=20)
-        self.lsh_family = lsh.HammingDistanceFamily(
+        self._make_family = lambda: lsh.HammingDistanceFamily(
             probe_length, rng=np.random.default_rng(seed))
         self.dist_thres = dist_thres
         self.dist_fn = hamming_dist
@@ -137,7 +144,7 @@ class NearDuplicateFilterWithMinHash(NearDuplicateFilter):
 
     def __init__(self, dist_thres, kmer_size=10, seed=0):
         super().__init__(k=3)
-        self.lsh_family = lsh.MinHashFamily(
+        self._make_family = lambda: lsh.MinHashFamily(
             kmer_size, rng=np.random.default_rng(seed))
         self.dist_thres = dist_thres
         self.dist_fn = jaccard_dist_fn(kmer_size)

@@ -171,6 +171,34 @@ class TestNearDuplicateFilter:
         rng.shuffle(probes)
         return probes
 
+    def test_grouped_thread_pool_deterministic(self):
+        """Grouped filtering runs groups on a thread pool; output must
+        equal per-group sequential calls in input order (each group
+        draws identical hash functions from a fresh seeded family —
+        the reference's fork-pool semantics,
+        reference test_near_duplicate_filter.py:82,202)."""
+        import numpy as np
+        from catch_tpu.probe import Probe
+        rng = np.random.default_rng(5)
+        bases = np.array(list("ACGT"))
+        groups = []
+        for _ in range(6):
+            base = rng.choice(bases, size=100)
+            probes = []
+            for _ in range(200):
+                s = base.copy()
+                m = rng.random(100) < 0.02
+                s[m] = rng.choice(bases, size=int(m.sum()))
+                probes.append(Probe.from_str("".join(s)))
+            groups.append(probes)
+        f = NearDuplicateFilterWithMinHash(0.5)
+        out_pool = f.filter([list(g) for g in groups],
+                            input_is_grouped=True)
+        f2 = NearDuplicateFilterWithMinHash(0.5)
+        out_seq = [f2._filter(list(g)) for g in groups]
+        for a, b in zip(out_pool, out_seq):
+            assert [p.seq_str for p in a] == [p.seq_str for p in b]
+
     @pytest.mark.parametrize("make_filter", [
         lambda seed: NearDuplicateFilterWithHammingDistance(
             8, 60, seed=seed),
