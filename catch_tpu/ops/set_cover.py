@@ -59,8 +59,12 @@ __all__ = ["approx", "approx_multiuniverse", "SetCoverInstance",
 # tiny per-pick touched state, so lazy evaluation on the host is the
 # production path; the device solvers remain for parity validation and
 # for instances whose per-pick work is genuinely device-scale (see
-# solve_instance).
-_HOST_SOLVE_MAX_ELEMS = 1 << 21
+# solve_instance).  The threshold is small: the full-rescan mirror
+# costs O(picks x (positions + intervals)) while the lazy solver's
+# setup is one O(n log n) pass with ~per-pick-touched work after, so
+# lazy wins for anything beyond unit-test scale (measured: a 1.7 Mbp
+# 90-genome group solved in 1.67 s by full-rescan vs 0.1 s lazy).
+_HOST_SOLVE_MAX_ELEMS = 1 << 16
 
 # Greedy steps executed per device dispatch (one lax.scan): amortizes
 # the host<->device round trip (which rides a network tunnel under
