@@ -19,12 +19,29 @@ Design differences vs. the reference:
 """
 
 from collections import defaultdict
+import functools
 import math
 
 import numpy as np
 
 __all__ = ["HammingDistanceFamily", "MinHashFamily", "HashConcatenation",
            "NearNeighborLookup", "BatchedNearNeighbor", "batch_kmer_codes"]
+
+# Signature matrices with at least this many (point x k-mer x hash)
+# cells are hashed on the accelerator (exact uint32 limb arithmetic,
+# see _minhash_sig_kernel).  The kernel's compute is ~10x the numpy
+# path, but the (U, L*k) uint32 signature readback scales with the
+# matrix, so the economics depend on the device link: on PCIe-attached
+# chips the device path wins outright; on a low-bandwidth tunneled
+# runtime the readback dominates and numpy wins at every size
+# (measured: 18.6 s numpy vs 23.4 s device for 17 x ~30k-probe
+# clusters through a ~6 MB/s tunnel).  Default keeps numpy; set
+# CATCH_TPU_LSH_DEVICE_MIN_CELLS to a cell count (e.g. 2097152) to
+# enable the device path on directly-attached hardware.
+import os as _os
+
+_DEVICE_SIG_MIN_CELLS = int(_os.environ.get(
+    "CATCH_TPU_LSH_DEVICE_MIN_CELLS", str(1 << 62)))
 
 _MERSENNE_P = 2**31 - 1
 
@@ -203,6 +220,77 @@ def batch_kmer_codes(seqs_b, k):
     return acc
 
 
+def _modmul_affine_u32(x, a, b):
+    """Exact (a*x + b) % (2^31 - 1) in uint32 lanes (traced).
+
+    All inputs < 2^31.  The 62-bit product is evaluated by 16-bit limb
+    decomposition with Mersenne folds (2^31 === 1 mod p, so a value
+    v < 2^32 reduces as (v >> 31) + (v & p)); every intermediate fits
+    uint32.  This is how the MinHash signature hash runs on TPU, whose
+    vector units have no 64-bit integer multiply.
+    """
+    import jax.numpy as jnp
+
+    M = jnp.uint32(0x7FFFFFFF)
+    x0 = x & jnp.uint32(0xFFFF)
+    x1 = x >> 16                      # < 2^15
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> 16                      # < 2^15
+    t2 = a1 * x1                      # < 2^30
+    t1 = a1 * x0 + a0 * x1            # < 2^32 - 2, no wrap
+    t0 = a0 * x0                      # < 2^32, exact in uint32
+    # reduce t1 below p, then multiply by 2^16 via a 15/16 limb split
+    t1 = (t1 >> 31) + (t1 & M)
+    t1 = jnp.where(t1 >= M, t1 - M, t1)
+    t1m = (t1 >> 15) + ((t1 & jnp.uint32(0x7FFF)) << 16)
+    # 2^32 === 2 mod p
+    r = (t2 << 1) + ((t0 >> 31) + (t0 & M))       # < 2^32
+    r = (r >> 31) + (r & M)
+    r = r + t1m                                   # < 2^32
+    r = (r >> 31) + (r & M)
+    r = r + b                                     # < 2^32
+    r = (r >> 31) + (r & M)
+    r = jnp.where(r >= M, r - M, r)
+    return r
+
+
+def _minhash_sig_kernel_factory():
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=())
+    def kernel(codes, ab):
+        """codes: uint32[U, n]; ab: uint32[H, 2] -> uint32[H, U] of
+        per-function minima (the signature matrix, transposed)."""
+        def step(_, ab_h):
+            v = _modmul_affine_u32(codes, ab_h[0], ab_h[1])
+            return None, v.min(axis=1)
+
+        _, cols = jax.lax.scan(step, None, ab)
+        return cols
+
+    return kernel
+
+
+_minhash_sig_kernel = None
+
+
+def _device_signatures(codes_np, ab_np):
+    """(U, H) uint64 signature minima computed on the accelerator;
+    returns None when JAX is unavailable (callers fall back to numpy).
+    """
+    global _minhash_sig_kernel
+    try:
+        import jax.numpy as jnp
+        if _minhash_sig_kernel is None:
+            _minhash_sig_kernel = _minhash_sig_kernel_factory()
+        cols = _minhash_sig_kernel(
+            jnp.asarray(codes_np.astype(np.uint32)),
+            jnp.asarray(ab_np.astype(np.uint32)))
+        return np.asarray(cols).T.astype(np.uint64)
+    except Exception:  # pragma: no cover - jax missing or device fault
+        return None
+
+
 class BatchedNearNeighbor:
     """Vectorized equivalent of NearNeighborLookup over a fixed point
     set: same hash functions (identical RNG draw order), same bucket
@@ -278,6 +366,12 @@ class BatchedNearNeighbor:
         sig = np.empty((self.U, H), dtype=np.uint64)
         for idxs, b in self._byte_matrix_groups():
             codes = batch_kmer_codes(b, fam.kmer_size)
+            dev = None
+            if codes.size * H >= _DEVICE_SIG_MIN_CELLS:
+                dev = _device_signatures(codes, ab)
+            if dev is not None:
+                sig[idxs] = dev
+                continue
             buf = np.empty_like(codes)
             tmp = np.empty_like(codes)
             for t in range(H):

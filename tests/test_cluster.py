@@ -86,6 +86,43 @@ def test_single_sequence():
     assert clusters == [["only"]]
 
 
+def test_device_modmul_exact():
+    """The uint32 limb modular multiply used for on-device MinHash
+    signatures must equal the uint64 (a*x + b) % p for all operand
+    ranges, including the inclusive extremes of the rng draws."""
+    import jax.numpy as jnp
+
+    p = np.uint64(2**31 - 1)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**31 - 1, size=4096).astype(np.uint64)
+    cases = [(int(a), int(b)) for a, b in
+             rng.integers(0, 2**31, size=(40, 2))]
+    cases += [(1, 0), (2**31 - 1, 2**31 - 1), (2**31 - 2, 0),
+              (2**16, 2**16), (2**31 - 1, 0), (12345, 2**31 - 1)]
+    for a, b in cases:
+        want = (np.uint64(a) * x + np.uint64(b)) % p
+        got = np.asarray(lsh._modmul_affine_u32(
+            jnp.asarray(x.astype(np.uint32)), jnp.uint32(a),
+            jnp.uint32(b)))
+        assert np.array_equal(got.astype(np.uint64), want), (a, b)
+
+
+def test_device_signatures_match_numpy():
+    """The device signature kernel must reproduce the numpy path's
+    minima bit for bit."""
+    rng = np.random.default_rng(4)
+    U, n, H = 64, 91, 75
+    codes = rng.integers(0, 2**31 - 1, size=(U, n)).astype(np.uint64)
+    ab = rng.integers(0, 2**31, size=(H, 2)).astype(np.uint64)
+    ab[0] = (2**31 - 1, 2**31 - 1)
+    dev = lsh._device_signatures(codes, ab)
+    assert dev is not None
+    p = np.uint64(2**31 - 1)
+    for t in range(H):
+        want = ((ab[t, 0] * codes + ab[t, 1]) % p).min(axis=1)
+        assert np.array_equal(dev[:, t], want), t
+
+
 def test_jaccard_from_mash_reference_values():
     # Eq. 4 of Ondov et al. 2016 at the reference's default k=12
     got = cluster._jaccard_dist_from_mash_dist(0.02, 12)
