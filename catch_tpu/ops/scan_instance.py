@@ -921,6 +921,14 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     t0 = _mark("merge", t0)
     if n_merged == 0:
         return None
+    # The default solve route reads the merged buffers back on the
+    # host (instance_to_host); start that copy now so it overlaps the
+    # union + assembly work below.
+    for x in (mk, ms, me):
+        try:
+            x.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - API drift
+            break
 
     # Universe unions -> u_size / u_span on host (tiny readback)
     uk, us_, ue_, n_u_runs = _union_jit(mk, ms, me, jnp.int32(nU),
