@@ -229,6 +229,11 @@ def main():
     for key in ("scan_seconds", "solve_seconds"):
         if key in stats:
             out[key] = round(stats[key], 2)
+    # Which scan route actually ran (the device pipeline falls back to
+    # the host-instance route after repeated transient runtime faults)
+    if stats.get("groups_device") is not None:
+        out["scan_route"] = "%dd/%dh" % (stats["groups_device"],
+                                         stats["groups_host"])
     phases = (searcher.stats.get("phase_seconds", {})
               if searcher is not None else {})
     if phases:

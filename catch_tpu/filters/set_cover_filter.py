@@ -351,7 +351,8 @@ class SetCoverFilter(BaseFilter):
         """Per-group set-cover selection; input is grouped probes."""
         import time as _time
         stats = {"scan_seconds": 0.0, "solve_seconds": 0.0,
-                 "candidates_evaluated": 0, "set_cover_picks": 0}
+                 "candidates_evaluated": 0, "set_cover_picks": 0,
+                 "groups_device": 0, "groups_host": 0}
         self.last_run_stats = stats
         selected_probes = []
         for group_i, (possible_probes, target_genomes) in enumerate(
@@ -372,6 +373,8 @@ class SetCoverFilter(BaseFilter):
             cand_before = prepared[0].stats["candidates"]
             chosen = self._solve_group_device(
                 prepared, target_genomes, ranks, universe_p, stats)
+            stats["groups_device" if chosen is not None
+                  else "groups_host"] += 1
             if chosen is None:
                 prepared[0].stats["candidates"] = cand_before
                 t0 = _time.time()

@@ -134,6 +134,51 @@ class TestDesignCLI:
         assert args.cluster_and_design_separately is None
         assert args.filter_with_lsh_minhash is None
 
+    def test_design_large_end_to_end(self, tmp_path, capsys):
+        """The full 'large' tier (clustering + LSH near-dup + set
+        cover with the large-input defaults) on a two-family corpus:
+        clustering must split the families and the design must cover
+        both (reference design_large.py is a thin args_type wrapper)."""
+        rng = np.random.default_rng(7)
+
+        def mutate(base, rate):
+            out = base.copy()
+            m = rng.random(len(out)) < rate
+            out[m] = rng.choice(list("ACGT"), size=int(m.sum()))
+            return "".join(out)
+
+        path = tmp_path / "two_families.fasta"
+        with open(path, "w") as f:
+            for fam in range(2):
+                base = rng.choice(list("ACGT"), size=700)
+                for i in range(5):
+                    f.write(f">f{fam}g{i}\n{mutate(base, 0.02)}\n")
+        out = tmp_path / "probes.fasta"
+        args = design.init_and_parse_args("large", [
+            str(path), "-o", str(out), "-pl", "60", "-ps", "30",
+            "-m", "2", "-l", "60"])
+        design.main(args)
+        probes = seq_io.read_fasta(str(out))
+        assert len(probes) > 0
+        count = int(capsys.readouterr().out.strip())
+        assert count == len(probes)
+
+        # the probe set must cover every genome of both families
+        from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+        from catch_tpu.probe import Probe
+        searcher = ProbeSearcher(
+            [Probe.from_str(s) for s in probes.values()],
+            CoverModel(2, 60))
+        genomes = seq_io.read_genomes_from_fasta(str(path))
+        for g in genomes:
+            for seq in g.seqs:
+                covered = np.zeros(len(seq) + 1, dtype=np.int64)
+                for spans in searcher.find_probe_covers(seq).values():
+                    for (a, b) in spans:
+                        covered[max(0, a - 50)] += 1
+                        covered[min(len(seq), b + 50)] -= 1
+                assert np.all(np.cumsum(covered[:-1]) > 0)
+
 
 class TestDesignNaivelyCLI:
     def test_naive(self, small_fasta, capsys):
