@@ -125,11 +125,11 @@ class Analyzer:
         ce = (np.minimum(seq_len[s_idx], en + self.cover_extension)
               + off[s_idx])
 
-        order = np.argsort(s_idx, kind="stable")
-        bounds = np.searchsorted(s_idx[order],
-                                 np.arange(len(strands) + 1))
+        # s_idx is the lexsort's primary key above, so the arrays are
+        # already grouped by strand
+        bounds = np.searchsorted(s_idx, np.arange(len(strands) + 1))
         for k, (i, j, rc, _) in enumerate(strand_meta):
-            sl = order[bounds[k]:bounds[k + 1]]
+            sl = slice(bounds[k], bounds[k + 1])
             self.target_covers[i][j][rc].extend(
                 zip(cs[sl].tolist(), ce[sl].tolist()))
             if not rc:

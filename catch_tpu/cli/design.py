@@ -249,10 +249,16 @@ def main(args):
     else:
         filters.append(DuplicateFilter())
 
+    # Host-side pool cap: the grouped-filter thread pool honors the
+    # reference's --max-num-processes knob
+    # (/root/reference/bin/design.py:215, :912-922).
+    if args.max_num_processes is not None:
+        from catch_tpu.filters import base as filter_base
+        filter_base.set_max_num_processes_for_filter_over_groupings(
+            args.max_num_processes)
+
     # Device mesh: shard the cover scan and the greedy solve across
-    # accelerators when more than one is visible — the analogue of the
-    # reference's --max-num-processes pool knob
-    # (/root/reference/bin/design.py:912-922).  With
+    # accelerators when more than one is visible.  With
     # jax.distributed initialized (see catch_tpu.parallel.distributed)
     # the mesh spans every process's devices.
     mesh = None

@@ -22,7 +22,19 @@ from concurrent.futures import ThreadPoolExecutor
 import inspect
 import os
 
-__all__ = ["BaseFilter"]
+__all__ = ["BaseFilter",
+           "set_max_num_processes_for_filter_over_groupings"]
+
+# Global worker cap for the grouped-filter thread pool (the analogue
+# of the reference's module setter, base_filter.py:12-29); None means
+# the min(cpu, 8) default.
+_max_num_processes = None
+
+
+def set_max_num_processes_for_filter_over_groupings(n):
+    """Cap the grouped-filter thread pool (--max-num-processes)."""
+    global _max_num_processes
+    _max_num_processes = n
 
 
 class BaseFilter:
@@ -41,8 +53,9 @@ class BaseFilter:
                 input_is_grouped is True
             target_genomes: list of groupings of Genomes
             input_is_grouped: whether input is grouped
-            num_processes: accepted for reference API compatibility;
-                unused (device-side parallelism replaces process pools)
+            num_processes: worker cap for the grouped thread pool
+                (overrides the module-level setter; default
+                min(cpu, 8))
 
         Returns:
             probes (or per-group probe lists) after the filter
@@ -66,7 +79,8 @@ class BaseFilter:
 
             if len(input) <= 1:
                 return [one(probes) for probes in input]
-            workers = num_processes or min(os.cpu_count() or 1, 8)
+            workers = (num_processes or _max_num_processes
+                       or min(os.cpu_count() or 1, 8))
             workers = max(1, min(workers, len(input)))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 return list(pool.map(one, input))

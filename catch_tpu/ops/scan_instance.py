@@ -86,9 +86,6 @@ _SLAB_SAMPLES = 1 << 22     # query samples per stage-A dispatch
 # 2^22 width the merge kernels also use).  More, smaller dispatches
 # cost only a scalar readback each.
 _T_SLAB = 1 << 22
-# Deduplicated pairs per stage-B dispatch; equal to _T_SLAB so the
-# compaction can never overflow (pairs <= hits).
-_PAIR_CAP = 1 << 22
 _C_CHUNK = 1 << 17          # candidates per stage-C dispatch
 _SPAN_CAP = 1 << 18         # span buffer per stage-C dispatch
 _BATCH_CHUNKS = 16          # stage-C buffers merged per D1 dispatch
@@ -799,14 +796,9 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     counts_b = _gather_counts([x[9] for x in pending_b], devices)
     for (di, lo, cnt, g0, i0, i1, T_eff, p_c, a_c, n_pairs), n in zip(
             pending_b, counts_b):
-        cap = T_eff
-        while n > cap:   # rare overflow: re-run with a bigger buffer
-            cap = _next_pow2(n)
-            p_c, a_c, n_pairs = _stage_b_jit(
-                lo, cnt, jnp.int32(g0), jnp.int32(i0), jnp.int32(i1),
-                tbl_by_dev[di][1], tbl_by_dev[di][2],
-                T=T_eff, Q=slab_q, CAP=cap, s=s)
-            n = int(n_pairs)
+        # CAP == T_eff >= subrange hits >= deduplicated pairs, so the
+        # compaction cannot overflow by construction
+        assert n <= T_eff, (n, T_eff)
         if n:
             pair_bufs.append((di, p_c, a_c, n))
             n_candidates += n

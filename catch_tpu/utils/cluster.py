@@ -119,16 +119,22 @@ def _block_dists_kernel(sigs, j0, *, N, B):
 @functools.partial(jax.jit, static_argnames=("N", "B"))
 def _block_codes_kernel(sigs, j0, cap_thr, cap_early, *, N, B):
     """Thresholded adjacency codes for rows [j0, j0+B): 0 = farther
-    than the clustering threshold, 1 = within it, 2 = within the
-    early-stop threshold.  Thresholds arrive as minimum capped-
-    intersection counts (exact integer comparisons — no float32/64
-    boundary mismatches against the row kernel's float distances), so
-    the readback is n^2 bytes instead of 4*n^2.
+    than the clustering threshold, 1 = within it but beyond the
+    early-stop threshold (explored by the DFS), 2 = within BOTH
+    (absorbed without exploration).  The DFS nests its early-stop test
+    inside the threshold test, so code 2 requires both conditions —
+    when the clustering threshold is below the early-stop threshold, a
+    pair within early but beyond the threshold must code 0, not 1.
+    Thresholds arrive as minimum capped-intersection counts (exact
+    integer comparisons — no float32/64 boundary mismatches against
+    the row kernel's float distances), so the readback is n^2 bytes
+    instead of 4*n^2.
     """
     d = _block_dists_kernel(sigs, j0, N=N, B=B)
     cap = jnp.round((1.0 - d) * N).astype(jnp.int32)
-    return ((cap >= cap_thr).astype(jnp.uint8)
-            + (cap >= cap_early).astype(jnp.uint8))
+    wt = cap >= cap_thr
+    we = cap >= cap_early
+    return wt.astype(jnp.uint8) + (wt & we).astype(jnp.uint8)
 
 
 def _min_cap(N, thr):
@@ -333,10 +339,13 @@ def cluster_with_minhash_signatures(seqs, k=12, N=100, threshold=0.1,
         early = _jaccard_dist_from_mash_dist(0.02, 12)
         if num_seqs > 1:
             codes = dd.code_matrix(jaccard_dist_threshold, early)
+            # Translate one row at a time (the full float matrix would
+            # be 8x the uint8 codes).  Code 1 exists only when the
+            # threshold exceeds the early-stop value, where pseudo =
+            # threshold reproduces "within threshold, beyond early".
             lut = np.array([2.0, jaccard_dist_threshold, 0.0],
                            dtype=np.float64)
-            pseudo = lut[codes]
-            row_fn = lambda j: pseudo[j]  # noqa: E731
+            row_fn = lambda j: lut[codes[j]]  # noqa: E731
         else:
             row_fn = dd.row
         clusters = find_connected_components(

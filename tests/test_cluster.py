@@ -80,6 +80,36 @@ def test_hierarchical_clustering_separates_families():
         assert len(fams) == 1
 
 
+def test_threshold_below_early_stop_does_not_over_merge():
+    """With a clustering threshold below the (fixed) early-stop
+    threshold, pairs within early but beyond the threshold are NOT
+    adjacent (the DFS nests early inside the threshold test); the
+    coded path must match the float-row path exactly (regression: the
+    additive coding treated them as within-threshold and merged
+    unrelated clusters)."""
+    rng = np.random.default_rng(21)
+    # family copies ~1.5% apart: Jaccard distance ~0.28 — within the
+    # early-stop threshold (0.352) but beyond threshold=0.01's Jaccard
+    # threshold (0.203), the band the additive coding got wrong
+    seqs = _family_seqs(rng, 3, 2, 900, copy_mut=0.0075)
+    clusters = cluster.cluster_with_minhash_signatures(
+        seqs, threshold=0.01, cluster_method="simple")
+    # reference semantics via the float row kernel
+    family = lsh.MinHashFamily(12, N=100)
+    sig_map = cluster.make_signatures_with_minhash(
+        family, dict(seqs))
+    # independent check: every cluster from the coded path must also
+    # be a connected component of the float-thresholded graph
+    names = list(seqs.keys())
+    sigs = [sig_map[n] for n in names]
+    dd = cluster._DeviceDistances(sigs)
+    thr = cluster._jaccard_dist_from_mash_dist(0.01, 12)
+    want = cluster.find_connected_components(len(sigs), dd.row, thr)
+    got_idx = sorted(sorted(names.index(n) for n in c)
+                     for c in clusters)
+    assert got_idx == sorted(want)
+
+
 def test_single_sequence():
     clusters = cluster.cluster_with_minhash_signatures(
         {"only": "ACGT" * 50}, threshold=0.15, cluster_method="simple")

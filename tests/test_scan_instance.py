@@ -46,7 +46,6 @@ def small_shapes(monkeypatch):
     paths instead of the single-dispatch fast case."""
     monkeypatch.setattr(scan_instance, "_SLAB_SAMPLES", 1 << 11)
     monkeypatch.setattr(scan_instance, "_T_SLAB", 1 << 15)
-    monkeypatch.setattr(scan_instance, "_PAIR_CAP", 1 << 13)
     monkeypatch.setattr(scan_instance, "_C_CHUNK", 1 << 10)
     monkeypatch.setattr(scan_instance, "_SPAN_CAP", 1 << 12)
     monkeypatch.setattr(scan_instance, "_BATCH_CHUNKS", 4)
@@ -364,15 +363,6 @@ class TestOverflowAndRetryPaths:
             == _host_intervals_as_tuples(inst)
         assert np.array_equal(
             np.asarray(dev["u_size"])[:len(genomes)], inst.u_size)
-
-    def test_stage_b_pair_cap_escalation(self, small_shapes, monkeypatch):
-        """Deduplicated pairs exceeding the compaction buffer re-run
-        stage B with a doubled cap (production sizes make this
-        unreachable: _PAIR_CAP == _T_SLAB; here the cap is shrunk
-        below the per-subrange hit count)."""
-        monkeypatch.setattr(scan_instance, "_PAIR_CAP", 1 << 8)
-        rng = np.random.default_rng(19)
-        self._parity(_corpus(rng, 5, 1800))
 
     def test_stage_c_span_cap_escalation(self, small_shapes, monkeypatch):
         """A verify chunk emitting more spans than _SPAN_CAP re-runs
