@@ -25,16 +25,15 @@ def main(args):
         seqs = [seq_io.read_genomes_from_fasta(ds)]
     else:
         raise ValueError(
-            "Dataset labels are not allowed as input. Please specify a "
-            "FASTA file or, if you already did, check that the file "
-            "path is correct.")
+            "%r is not a readable file; this command takes a FASTA "
+            "path (named dataset labels are not supported here)" % ds)
 
     if (args.limit_target_genomes and
             args.limit_target_genomes_randomly_with_replacement):
-        raise Exception(
-            "Cannot --limit-target-genomes and "
-            "--limit-target-genomes-randomly-with-replacement at the "
-            "same time")
+        raise ValueError(
+            "--limit-target-genomes and "
+            "--limit-target-genomes-randomly-with-replacement are "
+            "mutually exclusive; choose one way to subsample")
     elif args.limit_target_genomes:
         seqs = [genomes[:args.limit_target_genomes] for genomes in seqs]
     elif args.limit_target_genomes_randomly_with_replacement:
@@ -45,11 +44,10 @@ def main(args):
     mismatches = None
 
     if args.naive_redundant_filter and args.dominating_set_filter:
-        raise Exception(
-            "Cannot use both 'naive_redundant_filter' and "
-            "'dominating_set_filter' at the same time. (You could of "
-            "course do one after the other, but it was probably a "
-            "mistake to specify both.)")
+        raise ValueError(
+            "pick either --naive-redundant-filter or "
+            "--dominating-set-filter, not both — they are alternative "
+            "redundancy strategies over the same graph")
     elif args.naive_redundant_filter or args.dominating_set_filter:
         if args.naive_redundant_filter:
             mismatches, lcf_thres = args.naive_redundant_filter
@@ -84,10 +82,10 @@ def init_and_parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("dataset", help="Path to fasta file")
     parser.add_argument("-pl", "--probe-length", type=int, default=100,
-        help="(Optional) The number of bp in each probe")
+        help="Length in bp of every designed probe (default 100)")
     parser.add_argument("-ps", "--probe-stride", type=int, default=50,
-        help=("(Optional) Generate candidate probes from the input that "
-              "are separated by this number of bp"))
+        help=("Spacing in bp between consecutive candidate probe "
+              "start positions (default 50)"))
     parser.add_argument("-nrf", "--naive-redundant-filter", nargs=2,
         type=int,
         help=("Args: <MISMATCHES> <LCF_THRES>. Greedily remove probes "
@@ -101,11 +99,11 @@ def init_and_parse_args(argv=None):
         dest="add_reverse_complements", action="store_true",
         help="Add to the output the reverse complement of each probe")
     parser.add_argument("--limit-target-genomes", type=int,
-        help="(Optional) Use only the first N target genomes")
+        help="Design against only the first N input genomes")
     parser.add_argument(
         "--limit-target-genomes-randomly-with-replacement", type=int,
-        help="(Optional) Randomly select N target genomes with "
-             "replacement")
+        help="Design against N genomes sampled uniformly with "
+             "replacement from the input")
     parser.add_argument("--print-analysis", dest="print_analysis",
         action="store_true",
         help="Print analysis of the probe set's coverage")

@@ -24,18 +24,19 @@ def main(args):
         dataset_weights = None
 
     if args.loss_coeffs and len(args.loss_coeffs) != len(param_names):
-        raise Exception(
-            "If using --loss-coeffs, the number of coefficients (%d) "
-            "must be the same as the number of parameters provided in "
-            "the input table (%d)" % (len(args.loss_coeffs),
-                                      len(param_names)))
+        raise ValueError(
+            "--loss-coeffs got %d coefficients but the probe-count "
+            "table has %d parameter columns; give exactly one "
+            "coefficient per parameter" % (len(args.loss_coeffs),
+                                           len(param_names)))
 
     if args.use_nd:
         if args.round_params:
-            raise Exception(
-                "The arguments '--use-nd' and '--round-params' cannot "
-                "both be used; this does not round parameters after "
-                "searching over a space with n > 2")
+            raise ValueError(
+                "--round-params only applies to the standard "
+                "2-parameter search; the n-dimensional search "
+                "(--use-nd) keeps parameters fractional, so pick one "
+                "of the two flags")
         s_results = param_search.higher_dimensional_search(
             param_names, probe_counts, args.target_probe_count,
             loss_coeffs=args.loss_coeffs,
@@ -43,11 +44,11 @@ def main(args):
         write_type = "float"
     else:
         if param_names != ("mismatches", "cover_extension"):
-            raise Exception(
-                "For a standard search, the only parameters in the "
-                "input table must be, in order: 'mismatches' and "
-                "'cover_extension'. Consider using the '--use-nd' "
-                "argument to search over additional parameters.")
+            raise ValueError(
+                "the standard search expects exactly the columns "
+                "'mismatches' then 'cover_extension' (table has: %s); "
+                "pass --use-nd to optimize over a different or larger "
+                "parameter set" % ", ".join(param_names))
         s_results = param_search.standard_search(
             probe_counts, args.target_probe_count,
             round_params=args.round_params,
@@ -75,8 +76,9 @@ def init_and_parse_args(argv=None):
     parser.add_argument("param_vals_tsv",
         help="Path to output TSV of optimal parameter values")
     parser.add_argument("--round-params", nargs=2, type=int,
-        help=("<m> <e>; round mismatches to the nearest multiple of m "
-              "and cover_extension to the nearest multiple of e"))
+        help=("<m> <e>: snap the chosen mismatches value to a "
+              "multiple of m and the cover_extension value to a "
+              "multiple of e before reporting"))
     parser.add_argument("--use-nd", action="store_true",
         help=("Use the n-dimensional interpolation and search (required "
               "for tables with more than 2 parameters; outputs "
