@@ -480,6 +480,114 @@ def _union_jit(k, s, e, nU, *, OUT):
 
 
 # ----------------------------------------------------------------------
+# Packed readback of the merged instance
+# ----------------------------------------------------------------------
+
+# Escape rows per pack dispatch (rows whose key delta or interval
+# length exceeds 16 bits).  Typical instances escape a handful of rows
+# (key deltas are small because keys are near-dense); overflow falls
+# back to the unpacked readback.
+_ESC_CAP = 1 << 12
+
+
+@functools.partial(jax.jit, static_argnames=("N", "b_pos", "ECAP"))
+def _pack_merged_jit(k, s, e, n, *, N, b_pos, ECAP):
+    """Pack merged rows [0, n) into a compact byte stream for readback.
+
+    Row layout (little-endian): u16 key delta from the previous row,
+    then b_pos bytes of absolute start, then u16 interval length.  The
+    merged buffer is compacted (valid rows are a prefix) and sorted by
+    key, so key deltas are nonnegative and usually tiny.  Rows whose
+    key delta or length exceeds 16 bits store 0 in that field and land
+    in the escape channel with their absolute (key, end); the host
+    decoder re-applies them (see _unpack_merged).  `b_pos` is chosen
+    by the caller from the largest universe-local coordinate, which is
+    known exactly (<= longest genome), so starts never escape.
+
+    On a tunneled runtime the readback rides ~6 MB/s, so bytes ARE
+    wall-clock: 4 + b_pos bytes/row vs 12 unpacked, and N (the
+    bucketed live count) vs the full merge width.  This replaced a
+    full-width 3 x int32 prefetch that serialized the tunnel for ~8 s
+    on the ebola175 bench (BENCH_r04 assemble = 12.0 s).
+    """
+    k = k[:N]
+    s = s[:N]
+    e = e[:N]
+    rows = jnp.arange(N, dtype=jnp.int32)
+    valid = rows < n
+    kprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), k[:-1]])
+    dk = jnp.where(valid, k - kprev, 0)
+    ln = jnp.where(valid, e - s, 0)
+    sv = jnp.where(valid, s, 0)
+    key_esc = dk > 0xFFFF
+    len_esc = ln > 0xFFFF
+    esc = (key_esc | len_esc) & valid
+    dk_st = jnp.where(key_esc, 0, dk)
+    ln_st = jnp.where(len_esc, 0, ln)
+    parts = [dk_st & 0xFF, (dk_st >> 8) & 0xFF]
+    for b in range(b_pos):
+        parts.append((sv >> (8 * b)) & 0xFF)
+    parts += [ln_st & 0xFF, (ln_st >> 8) & 0xFF]
+    packed = jnp.stack(parts, axis=1).astype(jnp.uint8).reshape(-1)
+
+    n_esc = jnp.sum(esc, dtype=jnp.int32)
+    dst = jnp.cumsum(esc.astype(jnp.int32)) - 1
+    sc = jnp.where(esc, dst, ECAP)
+    esc_idx = jnp.full((ECAP,), -1, jnp.int32).at[sc].set(
+        rows, mode="drop")
+    esc_key = jnp.zeros((ECAP,), jnp.int32).at[sc].set(k, mode="drop")
+    esc_end = jnp.zeros((ECAP,), jnp.int32).at[sc].set(e, mode="drop")
+    return packed, esc_idx, esc_key, esc_end, n_esc
+
+
+def _unpack_merged(dev):
+    """Decode the packed merged instance into host (key, start, end)
+    int64 arrays; falls back to the unpacked device buffers when the
+    escape channel overflowed (or no pack was dispatched)."""
+    n = int(dev["n_merged"])
+    pk = dev.get("packed")
+    if pk is not None:
+        packed, esc_idx, esc_key, esc_end, n_esc_dev, N, b_pos = pk
+        n_esc = int(n_esc_dev)
+        if n_esc <= esc_idx.shape[0]:
+            width = 4 + b_pos
+            rows = np.asarray(packed).reshape(N, width)[:n].astype(
+                np.int64)
+            dk = rows[:, 0] | (rows[:, 1] << 8)
+            s = np.zeros(n, dtype=np.int64)
+            for b in range(b_pos):
+                s |= rows[:, 2 + b] << (8 * b)
+            ln = rows[:, 2 + b_pos] | (rows[:, 3 + b_pos] << 8)
+            k = np.cumsum(dk)
+            e = s + ln
+            if n_esc:
+                idx = np.asarray(esc_idx[:n_esc]).astype(np.int64)
+                kab = np.asarray(esc_key[:n_esc]).astype(np.int64)
+                eab = np.asarray(esc_end[:n_esc]).astype(np.int64)
+                # Escaped key deltas were stored as 0; shift every
+                # suffix so the escaped rows take their absolute keys.
+                # Corrections accumulate, so compute each row's needed
+                # shift against the shifts already applied before it
+                # (escape indices ascend), then apply them all with
+                # one cumulative-sum pass.
+                corr = np.zeros(n, dtype=np.int64)
+                applied = np.int64(0)
+                for i, ka in zip(idx, kab):
+                    d = ka - (k[i] + applied)
+                    corr[i] = d
+                    applied += d
+                k += np.cumsum(corr)
+                e[idx] = eab
+            return k, s, e
+        logger.warning("Pack escape channel overflowed (%d rows); "
+                       "reading the merged instance unpacked", n_esc)
+    mk, ms, me = dev["merged"]
+    return (np.asarray(mk[:n]).astype(np.int64),
+            np.asarray(ms[:n]).astype(np.int64),
+            np.asarray(me[:n]).astype(np.int64))
+
+
+# ----------------------------------------------------------------------
 # Stage E: instance assembly
 # ----------------------------------------------------------------------
 
@@ -675,6 +783,12 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     chrom_off_dev = rep(chrom_off_p.astype(np.int32))
     univ_of_seq_dev = rep(seq_univ_p.astype(np.int32))
 
+    # Largest universe-local coordinate any span can carry (spans are
+    # clamped to chrom_off + seq_len per sequence); sizes the packed
+    # readback's start field exactly.
+    max_pos = int((chrom_off_p[:n_seqs] + seq_lens_p[:n_seqs]).max()) \
+        if n_seqs else 0
+
     with maybe_trace("scan_instance"):
         return _run_pipeline(
             searcher, devices, mega_dev, codes_dev, codes_perm,
@@ -682,7 +796,7 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
             chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
             n_samples, kj, s, L, K, k_seed, seed_req, nU,
             cover_extension, universe_p, rank_idx_cand, n_rank_vals,
-            cost_cand)
+            cost_cand, max_pos)
 
 
 def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
@@ -690,7 +804,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
                   chrom_off_dev, univ_of_seq_dev, perm, pid_of, total,
                   n_samples, kj, s, L, K, k_seed, seed_req, nU,
                   cover_extension, universe_p, rank_idx_cand,
-                  n_rank_vals, cost_cand):
+                  n_rank_vals, cost_cand, max_pos):
     import time as _time
 
     n_dev = len(devices)
@@ -913,14 +1027,27 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     t0 = _mark("merge", t0)
     if n_merged == 0:
         return None
-    # The default solve route reads the merged buffers back on the
-    # host (instance_to_host); start that copy now so it overlaps the
-    # union + assembly work below.
-    for x in (mk, ms, me):
-        try:
+    # The default solve route reads the merged instance back on the
+    # host (instance_to_host).  Dispatch the compact packing now and
+    # start its host copy so the transfer overlaps the union +
+    # metadata work below (and the readback that remains at solve
+    # time is 4 + b_pos bytes/row instead of 12, over the live prefix
+    # instead of the full merge width).
+    packed_tuple = None
+    try:
+        b_pos = 2 if max_pos <= 0xFFFF else (
+            3 if max_pos <= 0xFFFFFF else 4)
+        N_pack = min(OUT, _next_pow2(max(n_merged, 1 << 10)))
+        packed, esc_idx, esc_key, esc_end, n_esc = _pack_merged_jit(
+            mk, ms, me, jnp.int32(n_merged), N=N_pack, b_pos=b_pos,
+            ECAP=_ESC_CAP)
+        for x in (packed, esc_idx, esc_key, esc_end, n_esc):
             x.copy_to_host_async()
-        except AttributeError:  # pragma: no cover - API drift
-            break
+        packed_tuple = (packed, esc_idx, esc_key, esc_end, n_esc,
+                        N_pack, b_pos)
+    except Exception:  # pragma: no cover - fall back to unpacked read
+        logger.exception("Packed-readback dispatch failed; the solve "
+                         "will read the merged buffers unpacked")
 
     # Universe unions -> u_size / u_span on host (tiny readback)
     uk, us_, ue_, n_u_runs = _union_jit(mk, ms, me, jnp.int32(nU),
@@ -947,21 +1074,15 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     universe_p = np.asarray(universe_p, dtype=np.float64)
     can_uncover = (u_size - universe_p * u_size).astype(np.int64)
 
-    # Stage E: assembly (S_pad bucketed by the padded probe count so
-    # the program is shared across groups)
+    # Stage E (boundary arrays for the device solver) is DEFERRED:
+    # the default solve route is the lazy host solver, which reads the
+    # packed merge back and never touches the boundary arrays, so
+    # running _assemble_jit here (plus its two blocking scalar
+    # readbacks) charged every design for a program only the opt-in
+    # device-solver route executes.  ensure_assembled() materializes
+    # it on demand.
     S_pad = _next_pow2(P_pad + 1)
     nU_pad = _next_pow2(nU + 1)
-    P_CAP = OUT
-    off_pad = np.zeros(nU_pad, dtype=np.int32)
-    off_pad[:nU] = offsets[:nU]
-    offsets_dev = jnp.asarray(off_pad)
-    (gs, ge, pb, set_bounds, univ_of_pair, n_pairs_d, mp, mi) = \
-        _assemble_jit(mk, ms, me, offsets_dev, jnp.int32(n_merged),
-                      jnp.int32(nU), OUT=OUT, P_CAP=P_CAP, S_pad=S_pad,
-                      nU_pad=nU_pad)
-    max_pairs = _next_pow2(int(mp))
-    max_ivls = _next_pow2(int(mi))
-
     cost_perm = np.ones(S_pad, dtype=np.float32)
     cost_perm[:P] = np.asarray(cost_cand, dtype=np.float32)[pid_of[perm]]
     rank_perm = np.full(S_pad, n_rank_vals, dtype=np.int32)
@@ -974,19 +1095,44 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
 
     _mark("assemble", t0)
     dev = dict(
-        ivl_start=gs, ivl_end=ge, pair_bounds=pb, set_bounds=set_bounds,
-        univ_of_pair=univ_of_pair, cost=jnp.asarray(cost_perm),
+        cost=jnp.asarray(cost_perm),
         rank_idx=jnp.asarray(rank_perm),
         can_uncover=jnp.asarray(can_unc_pad),
         u_size=jnp.asarray(u_size_pad),
         U_pad=_next_pow2(u_len), n_rank_vals=n_rank_vals,
-        max_pairs_per_set=max_pairs, max_ivls_per_set=max_ivls,
-        # For the host lazy solver route: the merged universe-local
-        # intervals plus the host-side metadata to rebuild an exact
-        # SetCoverInstance from one compact readback.
+        S_pad=S_pad, nU_pad=nU_pad,
+        # For the host lazy solver route: the packed merged intervals
+        # (universe-local) plus host metadata to rebuild an exact
+        # SetCoverInstance from one compact readback; `merged` is the
+        # unpacked fallback and ensure_assembled's input.
+        packed=packed_tuple,
         merged=(mk, ms, me), n_merged=n_merged, offsets=offsets,
         nU=nU, u_size_host=u_size, can_uncover_host=can_uncover)
     return dev, perm
+
+
+def ensure_assembled(dev):
+    """Materialize the boundary-indexed solver arrays (stage E) on a
+    device instance that deferred them; idempotent."""
+    if "ivl_start" in dev:
+        return dev
+    mk, ms, me = dev["merged"]
+    OUT = mk.shape[0]
+    nU = dev["nU"]
+    nU_pad = dev["nU_pad"]
+    off_pad = np.zeros(nU_pad, dtype=np.int32)
+    off_pad[:nU] = dev["offsets"][:nU]
+    (gs, ge, pb, set_bounds, univ_of_pair, n_pairs_d, mp, mi) = \
+        _assemble_jit(mk, ms, me, jnp.asarray(off_pad),
+                      jnp.int32(dev["n_merged"]), jnp.int32(nU),
+                      OUT=OUT, P_CAP=OUT, S_pad=dev["S_pad"],
+                      nU_pad=nU_pad)
+    dev.update(
+        ivl_start=gs, ivl_end=ge, pair_bounds=pb, set_bounds=set_bounds,
+        univ_of_pair=univ_of_pair,
+        max_pairs_per_set=_next_pow2(int(mp)),
+        max_ivls_per_set=_next_pow2(int(mi)))
+    return dev
 
 
 def instance_to_host(dev, perm, pid_of, n_candidates, rank_idx_cand,
@@ -1001,13 +1147,9 @@ def instance_to_host(dev, perm, pid_of, n_candidates, rank_idx_cand,
     """
     from catch_tpu.ops import set_cover as sc
 
-    mk, ms, me = dev["merged"]
-    n = int(dev["n_merged"])
     nU = dev["nU"]
     offsets = dev["offsets"]
-    k = np.asarray(mk[:n]).astype(np.int64)
-    s = np.asarray(ms[:n]).astype(np.int64)
-    e = np.asarray(me[:n]).astype(np.int64)
+    k, s, e = _unpack_merged(dev)
     pair_ids, pair_of_ivl = np.unique(k, return_inverse=True)
     solver_set_of_pair = (pair_ids // nU).astype(np.int64)
     univ_of_pair = (pair_ids % nU).astype(np.int32)

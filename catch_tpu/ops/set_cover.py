@@ -869,6 +869,11 @@ def solve_boundary_instance(dev, n_sets_real):
     ids.  The big state stays on device; per dispatch only the
     (chosen, pick) step vectors and the stop flag are read back.
     """
+    if "ivl_start" not in dev:
+        # Instances from ops/scan_instance defer the boundary-array
+        # assembly (the default lazy-host route never needs it)
+        from catch_tpu.ops import scan_instance
+        scan_instance.ensure_assembled(dev)
     consts = [jnp.asarray(dev[k]) for k in (
         "ivl_start", "ivl_end", "pair_bounds", "set_bounds",
         "univ_of_pair", "cost", "rank_idx", "can_uncover")]

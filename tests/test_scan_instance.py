@@ -102,6 +102,7 @@ def _dev_intervals_as_tuples(dev, perm, pid, nU):
     """Readback of the device instance as (candidate, univ, gs, ge)."""
     import jax.numpy as jnp  # noqa: F401
 
+    scan_instance.ensure_assembled(dev)  # stage E is deferred by default
     gs = np.asarray(dev["ivl_start"])
     ge = np.asarray(dev["ivl_end"])
     pb = np.asarray(dev["pair_bounds"])
@@ -277,6 +278,75 @@ def test_merge_runs_group_longer_than_out_width():
         jnp.asarray(k), jnp.asarray(s), jnp.asarray(e), out_w)
     assert int(nr) == 1
     assert (int(ms[0]), int(me[0])) == (0, 100000)
+
+
+class TestPackedReadback:
+    """The compact merged-instance readback (_pack_merged_jit +
+    _unpack_merged) must reproduce the (key, start, end) rows exactly,
+    including rows that escape the 16-bit delta/length fields."""
+
+    def _roundtrip(self, k, s, e, b_pos, ecap=1 << 12):
+        import jax.numpy as jnp
+        n = len(k)
+        N = scan_instance._next_pow2(max(n, 8))
+        pad = N - n
+        kd = jnp.asarray(np.concatenate(
+            [k, np.full(pad, np.iinfo(np.int32).max)]).astype(np.int32))
+        sd = jnp.asarray(np.concatenate([s, np.zeros(pad)]).astype(
+            np.int32))
+        ed = jnp.asarray(np.concatenate([e, np.zeros(pad)]).astype(
+            np.int32))
+        packed, ei, ek, ee, ne = scan_instance._pack_merged_jit(
+            kd, sd, ed, jnp.int32(n), N=N, b_pos=b_pos, ECAP=ecap)
+        dev = dict(packed=(packed, ei, ek, ee, ne, N, b_pos),
+                   merged=(kd, sd, ed), n_merged=n)
+        ko, so, eo = scan_instance._unpack_merged(dev)
+        return ko, so, eo, int(ne)
+
+    def test_small_rows_no_escapes(self):
+        k = np.array([0, 0, 1, 1, 1, 5, 9])
+        s = np.array([3, 40, 0, 10, 90, 7, 0])
+        e = np.array([20, 55, 5, 60, 95, 30, 2])
+        ko, so, eo, ne = self._roundtrip(k, s, e, b_pos=2)
+        assert ne == 0
+        assert ko.tolist() == k.tolist()
+        assert so.tolist() == s.tolist()
+        assert eo.tolist() == e.tolist()
+
+    def test_key_delta_and_length_escapes(self):
+        # Row 0's absolute key exceeds 16 bits (first-row delta IS the
+        # key); row 2 jumps by > 2^16; row 3 has a > 2^16-long run.
+        k = np.array([1 << 20, (1 << 20) + 3, (1 << 21) + 7,
+                      (1 << 21) + 7, (1 << 21) + 8])
+        s = np.array([5, 1, 2, 100, 0])
+        e = np.array([9, 4, 10, 100 + (1 << 17), 3])
+        ko, so, eo, ne = self._roundtrip(k, s, e, b_pos=4)
+        assert ne == 3
+        assert ko.tolist() == k.tolist()
+        assert so.tolist() == s.tolist()
+        assert eo.tolist() == e.tolist()
+
+    def test_wide_positions_b3_b4(self):
+        for b_pos, top in [(3, (1 << 24) - 10), (4, (1 << 30))]:
+            k = np.array([2, 4, 4])
+            s = np.array([top - 5, 1, top - 1])
+            e = np.array([top - 1, 8, top])
+            ko, so, eo, ne = self._roundtrip(k, s, e, b_pos=b_pos)
+            assert so.tolist() == s.tolist()
+            assert eo.tolist() == e.tolist()
+            assert ko.tolist() == k.tolist()
+
+    def test_escape_overflow_falls_back_to_unpacked(self, caplog):
+        # Every row escapes with ECAP=2 -> decoder must use the
+        # unpacked device buffers and still be exact.
+        k = (np.arange(5) + 1) * (1 << 18)
+        s = np.arange(5) * 10
+        e = s + 4
+        ko, so, eo, ne = self._roundtrip(k, s, e, b_pos=2, ecap=2)
+        assert ne == 5
+        assert ko.tolist() == k.tolist()
+        assert so.tolist() == s.tolist()
+        assert eo.tolist() == e.tolist()
 
 
 def test_union_group_longer_than_union_cap():
