@@ -31,7 +31,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["make_signatures_with_minhash", "cluster_with_minhash_signatures",
            "find_connected_components",
-           "cluster_hierarchically_from_dist_matrix"]
+           "cluster_hierarchically_from_dist_matrix",
+           "cluster_greedy_from_signatures"]
 
 
 def make_signatures_with_minhash(family, seqs):
@@ -201,6 +202,159 @@ class _DeviceDistances:
         return out[:self.n, :self.n]
 
 
+@functools.partial(jax.jit, static_argnames=("N",))
+def _assign_to_reps_jit(qs, rs, n_reps, cap_thr, *, N):
+    """Best representative per query signature.
+
+    qs (Q, N) and rs (R_pad, N) are sorted MinHash signatures; rows of
+    rs at or beyond n_reps are padding and can never win.  Returns
+    (best_idx i32[Q], ok bool[Q]) where ok means the best rep's capped
+    intersection count reaches cap_thr (i.e. distance within the
+    clustering threshold).  Same capped-union estimator as
+    _block_dists_kernel, scanned over the rep signatures' columns.
+    """
+    Q = qs.shape[0]
+    R = rs.shape[0]
+    A = qs[:, None, :]
+
+    def step(carry, col):
+        cm, cap, j = carry
+        Bj = col[None, :, None]
+        lt = jnp.sum(A < Bj, axis=-1, dtype=jnp.int32)
+        eq = jnp.any(A == Bj, axis=-1)
+        ok = eq & (lt + j - cm + 1 <= N)
+        return (cm + eq.astype(jnp.int32),
+                cap + ok.astype(jnp.int32), j + 1), None
+
+    init = (jnp.zeros((Q, R), jnp.int32), jnp.zeros((Q, R), jnp.int32),
+            jnp.int32(0))
+    (_, cap, _), _ = jax.lax.scan(step, init, rs.T)
+    cap = jnp.where(jnp.arange(R)[None, :] < n_reps, cap, -1)
+    best = jnp.argmax(cap, axis=1).astype(jnp.int32)
+    best_cap = jnp.max(cap, axis=1)
+    return best, best_cap >= cap_thr
+
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _pair_caps_jit(qs, rs, *, N):
+    """(Q, R) capped-intersection counts as uint8 (N <= 255)."""
+    A = qs[:, None, :]
+    R = rs.shape[0]
+
+    def step(carry, col):
+        cm, cap, j = carry
+        Bj = col[None, :, None]
+        lt = jnp.sum(A < Bj, axis=-1, dtype=jnp.int32)
+        eq = jnp.any(A == Bj, axis=-1)
+        ok = eq & (lt + j - cm + 1 <= N)
+        return (cm + eq.astype(jnp.int32),
+                cap + ok.astype(jnp.int32), j + 1), None
+
+    init = (jnp.zeros((A.shape[0], R), jnp.int32),
+            jnp.zeros((A.shape[0], R), jnp.int32), jnp.int32(0))
+    (_, cap, _), _ = jax.lax.scan(step, init, rs.T)
+    return cap.astype(jnp.uint8)
+
+
+# Above this many sequences the all-pairs methods are replaced by the
+# greedy leader pass: the dense adjacency is O(n^2) in device compute
+# AND readback (6.4e9 pairs at 80k sequences — hours), while the
+# leader pass is O(n x n_clusters).  The reference has no path that
+# completes at this scale either (its DFS evaluates every explored
+# row against all unvisited candidates, cluster.py:274-331).
+_ALL_PAIRS_MAX = 8192
+
+_WAVE = 2048
+
+
+def cluster_greedy_from_signatures(signatures, threshold_jaccard, N):
+    """Leader clustering (Mash-screen / UCLUST style) over MinHash
+    signatures: sequences are processed in input order in device-sized
+    waves; each query joins the nearest existing cluster representative
+    within the Jaccard threshold (ties to the earliest rep), else
+    becomes a new representative.
+
+    Semantics vs the connected-components method: single-link chains
+    through intermediate genomes do NOT merge clusters here (each
+    member is within the threshold of its representative directly).
+    For clade-structured inputs the outputs coincide; when they differ,
+    this method over-splits, which is the safe direction for design
+    (every cluster is still designed in full — at worst more probes).
+    O(n x n_clusters) total distance evaluations.
+
+    Returns a list of index lists, descending size order (stable).
+    """
+    n = len(signatures)
+    if n == 0:
+        return []
+    sigs = np.asarray(signatures, dtype=np.int64).astype(np.int32)
+    cap_thr = _min_cap(N, threshold_jaccard)
+
+    def pow2(x):
+        return 1 if x <= 1 else 1 << int(x - 1).bit_length()
+
+    rep_rows = []                      # global index of each leader
+    assign = np.full(n, -1, dtype=np.int64)
+    for w0 in range(0, n, _WAVE):
+        wave = sigs[w0:w0 + _WAVE]
+        Q = wave.shape[0]
+        Qp = pow2(Q)
+        if Qp != Q:
+            wave = np.concatenate(
+                [wave, np.zeros((Qp - Q, wave.shape[1]), np.int32)])
+        unassigned = np.arange(Q, dtype=np.int64)
+        if rep_rows:
+            # Min bucket 128 keeps the compiled-shape count small as
+            # the representative list grows (each fresh shape is a
+            # multi-second server-side compile on a tunneled runtime)
+            Rp = max(128, pow2(len(rep_rows)))
+            reps = np.zeros((Rp, sigs.shape[1]), dtype=np.int32)
+            reps[:len(rep_rows)] = sigs[rep_rows]
+            best, ok = _assign_to_reps_jit(
+                jnp.asarray(wave), jnp.asarray(reps),
+                jnp.int32(len(rep_rows)), jnp.int32(cap_thr),
+                N=N)
+            best = np.asarray(best)[:Q]
+            ok = np.asarray(ok)[:Q]
+            assign[w0:w0 + Q][ok] = best[ok]
+            unassigned = np.flatnonzero(~ok)
+        if len(unassigned):
+            # Leader scan within the chunk's leftovers (only sequences
+            # no existing representative claimed — usually a handful,
+            # the whole chunk only while clusters are first being
+            # discovered): one (L, L) capped-count block at the
+            # bucketed leftover size, then a serial host pass so a
+            # leftover can join a leader created earlier in the SAME
+            # chunk (otherwise the first chunk would make every
+            # sequence its own cluster).
+            L = len(unassigned)
+            Lp = min(max(256, pow2(L)), pow2(Q))
+            blk = np.zeros((Lp, sigs.shape[1]), dtype=np.int32)
+            blk[:L] = sigs[w0 + unassigned]
+            caps = np.asarray(_pair_caps_jit(
+                jnp.asarray(blk), jnp.asarray(blk),
+                N=N)).astype(np.int32)[:L, :L]
+            local_leaders = []         # positions within `unassigned`
+            for ii in range(L):
+                gi = w0 + unassigned[ii]
+                if local_leaders:
+                    row = caps[ii, local_leaders]
+                    jj = int(np.argmax(row))
+                    if row[jj] >= cap_thr:
+                        assign[gi] = assign[w0 + unassigned[
+                            local_leaders[jj]]]
+                        continue
+                local_leaders.append(ii)
+                assign[gi] = len(rep_rows)
+                rep_rows.append(gi)
+
+    clusters = defaultdict(list)
+    for i, c in enumerate(assign):
+        clusters[int(c)].append(i)
+    out = sorted(clusters.values(), key=len, reverse=True)
+    return out
+
+
 def cluster_hierarchically_from_dist_matrix(dist_matrix, threshold):
     """Average-linkage clustering of a condensed distance matrix
     (reference cluster.py:195-233)."""
@@ -323,6 +477,25 @@ def cluster_with_minhash_signatures(seqs, k=12, N=100, threshold=0.1,
     seq_headers = list(seqs.keys())
     signatures = [signatures_map[name] for name in seq_headers]
     jaccard_dist_threshold = _jaccard_dist_from_mash_dist(threshold, k)
+
+    if cluster_method in ("simple", "hierarchical") \
+            and num_seqs > _ALL_PAIRS_MAX:
+        logger.warning(
+            "Input has %d sequences; the '%s' clustering method is "
+            "all-pairs (quadratic) and does not complete at this scale, "
+            "so the greedy leader method is used instead (see "
+            "cluster_greedy_from_signatures)", num_seqs, cluster_method)
+        cluster_method = "greedy"
+
+    if cluster_method == "greedy":
+        logger.info(
+            "Clustering %d sequences at Jaccard distance threshold of "
+            "%f with the greedy leader method", num_seqs,
+            jaccard_dist_threshold)
+        clusters = cluster_greedy_from_signatures(
+            signatures, jaccard_dist_threshold, N)
+        return [[seq_headers[i] for i in cluster_idxs]
+                for cluster_idxs in clusters]
 
     dd = _DeviceDistances(signatures)
 

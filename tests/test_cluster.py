@@ -110,6 +110,68 @@ def test_threshold_below_early_stop_does_not_over_merge():
     assert got_idx == sorted(want)
 
 
+class TestGreedyLeaderClustering:
+    """The scalable leader method (cluster_greedy_from_signatures):
+    exact agreement with the connected-components method on
+    clade-structured input, wave-boundary behavior, and the automatic
+    switch above _ALL_PAIRS_MAX sequences."""
+
+    def test_matches_simple_on_clade_structured_input(self):
+        rng = np.random.default_rng(31)
+        seqs = _family_seqs(rng, 5, 12, 1000)
+        got = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="greedy")
+        want = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="simple")
+        assert sorted(map(sorted, got)) == sorted(map(sorted, want))
+
+    def test_first_wave_leaders_join_within_wave(self, monkeypatch):
+        """Leftovers must be able to join a leader created earlier in
+        the same wave (wave 1 has no representatives at all)."""
+        monkeypatch.setattr(cluster, "_WAVE", 8)
+        rng = np.random.default_rng(33)
+        seqs = _family_seqs(rng, 2, 3, 900)   # 6 seqs, all in wave 1
+        got = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="greedy")
+        assert len(got) == 2
+        for c in got:
+            assert len({n.split("c")[0] for n in c}) == 1
+
+    def test_wave_boundaries_do_not_change_output(self, monkeypatch):
+        rng = np.random.default_rng(35)
+        seqs = _family_seqs(rng, 4, 9, 800)
+        base = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="greedy")
+        for wave in (4, 7, 64):
+            monkeypatch.setattr(cluster, "_WAVE", wave)
+            got = cluster.cluster_with_minhash_signatures(
+                seqs, threshold=0.15, cluster_method="greedy")
+            assert sorted(map(sorted, got)) == \
+                sorted(map(sorted, base)), wave
+
+    def test_auto_switch_above_all_pairs_cutoff(self, monkeypatch,
+                                                caplog):
+        monkeypatch.setattr(cluster, "_ALL_PAIRS_MAX", 20)
+        rng = np.random.default_rng(37)
+        seqs = _family_seqs(rng, 3, 9, 700)   # 27 > 20
+        import logging
+        with caplog.at_level(logging.WARNING):
+            got = cluster.cluster_with_minhash_signatures(
+                seqs, threshold=0.15, cluster_method="simple")
+        assert "greedy" in caplog.text
+        assert len(got) == 3
+        assert sum(len(c) for c in got) == len(seqs)
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(39)
+        seqs = _family_seqs(rng, 3, 6, 600)
+        a = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="greedy")
+        b = cluster.cluster_with_minhash_signatures(
+            seqs, threshold=0.15, cluster_method="greedy")
+        assert a == b
+
+
 def test_single_sequence():
     clusters = cluster.cluster_with_minhash_signatures(
         {"only": "ACGT" * 50}, threshold=0.15, cluster_method="simple")
