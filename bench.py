@@ -7,12 +7,17 @@ reference README's recommended hybridization model (-pl 100 -m 2 -l 60
 -e 50) — the same workload as /root/reference/bin/design.py on the
 same input.
 
-Scale config (skipped with CATCH_TPU_BENCH_FAST=1): a synthetic
+Flu-scale config (BASELINE config #4; skipped with
+CATCH_TPU_BENCH_FAST=1): the real design_large CLI path — large-tier
+defaults, MinHash LSH near-duplicate filtering, cluster-and-design-
+separately — on a seeded 10,000-genome influenza-A-like corpus (8
+segments as 8 datasets, 135.9 Mbp, 12 subtype clades).  The recorded
+reference-CATCH result on the identical corpus is in FLU_REF.
+
+Scale config (also skipped with CATCH_TPU_BENCH_FAST=1): a synthetic
 ~51 Mbp corpus of 2,700 mutated genome copies run with MinHash
-near-duplicate filtering + cluster-and-design-separately — the shape
-of BASELINE config #4 (design_large on ~10k influenza genomes), sized
-so round-over-round progress on the 100k-genome ambition is
-measurable.
+near-duplicate filtering + cluster-and-design-separately — kept for
+round-over-round comparability with BENCH_r04.
 
 Prints the primary-metric JSON line immediately after the primary
 config (flushed, so a later timeout cannot destroy it), then reprints
@@ -80,6 +85,46 @@ def run_primary():
     return elapsed, len(designer.final_probes), \
         getattr(scf, "last_run_stats", {}) or {}, \
         getattr(scf, "_last_searcher", None)
+
+
+# Flu-scale config (BASELINE config #4): design_large (large-tier
+# defaults: -pl 100 -ps 50 -m 5 -e 50, MinHash LSH 0.6, cluster 0.15)
+# on a seeded 10,000-genome influenza-A-like corpus — 8 segments as 8
+# datasets (the reference convention for segmented species), ~13.6
+# kb/genome, 12 subtype clades at ~12% divergence with ~2% within.
+# Reference CATCH on the identical corpus and command
+# (bin/design_large.py seg1..seg8 --max-num-processes 8) is measured
+# out of band on this host; its result is recorded in FLU_REF below.
+FLU_GENOMES = int(os.environ.get("CATCH_TPU_FLU_GENOMES", "10000"))
+FLU_DIR = "/tmp/catch_tpu_bench/flu%d" % FLU_GENOMES
+# Measured 2026-08-21: the reference was killed incomplete at its
+# 3,600 s budget, still inside MinHash clustering of the 80,000
+# sequences (quadratic connected-components DFS; it had not produced
+# any candidate probes yet).
+FLU_REF = {"status": "incomplete", "budget_s": 3600}
+
+
+def run_flu10k():
+    """BASELINE config #4 through the real design_large CLI path."""
+    from catch_tpu.utils.synthetic import (influenza_like_segments,
+                                           write_segment_fastas)
+    from catch_tpu.utils import profiling
+    from catch_tpu.cli import design
+
+    segs, subtype_of = influenza_like_segments(n_genomes=FLU_GENOMES,
+                                               seed=0)
+    paths = write_segment_fastas(segs, subtype_of, FLU_DIR)
+    total_bp = sum(s.size for s in segs)
+    out_fasta = os.path.join(FLU_DIR, "probes_out.fasta")
+    profiling.reset_phases()
+    t0 = time.time()
+    args = design.init_and_parse_args(
+        args_type="large", argv=list(paths) + ["-o", out_fasta])
+    design.main(args)
+    elapsed = time.time() - t0
+    with open(out_fasta) as f:
+        n_probes = sum(1 for line in f if line.startswith(">"))
+    return elapsed, n_probes, total_bp, profiling.snapshot_phases()
 
 
 def run_scale():
@@ -214,6 +259,12 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
         "value_runs": runs,
+        # The first run of the process is the one-shot CLI experience
+        # (persistent-cache executable loads + tunnel session warmup);
+        # later runs are the steady state.  See README "Cold starts".
+        "primary_cold_s": runs[0],
+        "primary_warm_s": round(min(runs[1:]), 2) if len(runs) > 1
+        else None,
         "n_probes": n_probes,
         "baseline_s": BASELINE_S,
         "baseline_cpus": 2,
@@ -245,26 +296,62 @@ def main():
     print(json.dumps(out), flush=True)
 
     if not os.environ.get("CATCH_TPU_BENCH_FAST"):
+        # Flu-scale headline (BASELINE config #4) — one run (the
+        # corpus is 135 Mbp; the budget cannot fit a best-of-N).
+        from catch_tpu.utils import profiling
+        left = budget - (time.time() - t_start)
+        if left < 420:
+            out["flu10k_skipped"] = "budget (%.0f s left)" % left
+        else:
+            try:
+                with time_limit(int(left - 240)):
+                    f_el, f_probes, f_bp, f_phases = run_flu10k()
+                out["flu10k_metric"] = \
+                    "flu10k_design_large_8seg_m5_e50_lsh_cluster"
+                out["flu10k_seconds"] = round(f_el, 2)
+                out["flu10k_bp"] = f_bp
+                out["flu10k_n_probes"] = f_probes
+                out["flu10k_bp_per_s"] = int(f_bp / f_el)
+                out["flu10k_phases"] = f_phases
+                out["flu10k_reference"] = FLU_REF
+            except TimeoutException:
+                out["flu10k_error"] = "timeout (%.0f s left)" % left
+            except Exception as e:  # pragma: no cover
+                out["flu10k_error"] = repr(e)[:200]
+        print(json.dumps(out), flush=True)
+
         left = budget - (time.time() - t_start)
         if left < 240:
             out["scale_skipped"] = "budget (%.0f s left)" % left
         else:
             try:
+                profiling.reset_phases()
                 with time_limit(int(left - 60)):
                     s_elapsed, s_probes, s_bp = run_scale()
+                out["scale_phases"] = profiling.snapshot_phases()
                 runs_s = [round(s_elapsed, 2)]
-                # Best-of-2 when the budget allows (tunnel contention
-                # swings identical runs several-fold; see PROFILE.md)
-                left = budget - (time.time() - t_start)
-                if left > 1.5 * s_elapsed + 90:
+                # Re-run while the budget allows and the recorded
+                # spread exceeds 2x (tunnel contention swings
+                # identical runs several-fold; see PROFILE.md) — the
+                # best run is reported, the spread is the evidence.
+                for _ in range(2):
+                    left = budget - (time.time() - t_start)
+                    if left < 1.5 * s_elapsed + 90:
+                        break
+                    if len(runs_s) > 1 and \
+                            max(runs_s) < 2 * min(runs_s):
+                        break
                     try:
+                        profiling.reset_phases()
                         with time_limit(int(left - 60)):
                             e2, p2, _ = run_scale()
                         runs_s.append(round(e2, 2))
                         if e2 < s_elapsed:
                             s_elapsed, s_probes = e2, p2
+                            out["scale_phases"] = \
+                                profiling.snapshot_phases()
                     except TimeoutException:
-                        pass
+                        break
                 out["scale_metric"] = "synthetic51mbp_cluster_lsh_design"
                 out["scale_seconds"] = round(s_elapsed, 2)
                 out["scale_runs"] = runs_s

@@ -14,10 +14,11 @@ reproducible.
 """
 
 import logging
+import time
 
 from catch_tpu.filters import candidates as candidate_probes
 from catch_tpu import genome
-from catch_tpu.utils import cluster
+from catch_tpu.utils import cluster, profiling
 
 logger = logging.getLogger(__name__)
 
@@ -106,9 +107,11 @@ class ProbeDesigner:
             "Clustering %d sequences using MinHash signatures, at an "
             "average nucleotide dissimilarity threshold of %f", seq_idx,
             self.cluster_threshold)
+        t0 = time.time()
         clusters = cluster.cluster_with_minhash_signatures(
             seqs, threshold=self.cluster_threshold,
             cluster_method=cluster_method_to_use)
+        profiling.add_phase("cluster_genomes", time.time() - t0)
         logger.info("Found %d clusters with sizes: %s", len(clusters),
                     [len(c) for c in clusters])
 
@@ -122,17 +125,24 @@ class ProbeDesigner:
         assert len(probes) == len(genomes)
         for f in filters:
             logger.info("Starting filter %s", f.__class__.__name__)
+            t0 = time.time()
             probes = f.filter(probes, genomes, input_is_grouped=True)
+            profiling.add_phase("filter:" + f.__class__.__name__,
+                                time.time() - t0)
         return probes
 
     def _pass_through_filters_ungrouped(self, probes, genomes, filters):
         for f in filters:
             logger.info("Starting filter %s", f.__class__.__name__)
+            t0 = time.time()
             probes = f.filter(probes, genomes, input_is_grouped=False)
+            profiling.add_phase("filter:" + f.__class__.__name__,
+                                time.time() - t0)
         return probes
 
     def _design_for_genomes(self, genomes, filters):
         logger.info("Building candidate probes from target sequences")
+        t0 = time.time()
         candidates = []
         for genomes_from_group in genomes:
             candidates_for_group = []
@@ -151,6 +161,7 @@ class ProbeDesigner:
                     "sequence lengths, especially if "
                     "--cluster-and-design-separately is set small.")
             candidates.append(candidates_for_group)
+        profiling.add_phase("candidate_probes", time.time() - t0)
 
         probes = self._pass_through_filters(candidates, genomes, filters)
         return (candidates, probes)

@@ -815,7 +815,10 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     phases = searcher.stats.setdefault("phase_seconds", {})
 
     def _mark(key, t0):
-        phases[key] = phases.get(key, 0.0) + (_time.time() - t0)
+        from catch_tpu.utils import profiling
+        dt = _time.time() - t0
+        phases[key] = phases.get(key, 0.0) + dt
+        profiling.add_phase("scan:" + key, dt)
         return _time.time()
 
     t0 = _time.time()

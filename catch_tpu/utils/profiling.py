@@ -18,6 +18,25 @@ logger = logging.getLogger(__name__)
 
 _captured = set()
 
+# Process-wide phase accumulator: hot-path components (the scan
+# pipeline, the designer's filter loop) report wall-clock here in
+# addition to any per-object stats, so an end-to-end CLI run can be
+# broken down without threading a stats object through every layer.
+# Benchmarks reset it around a run and snapshot afterwards.
+phase_seconds = {}
+
+
+def add_phase(key, seconds):
+    phase_seconds[key] = phase_seconds.get(key, 0.0) + seconds
+
+
+def reset_phases():
+    phase_seconds.clear()
+
+
+def snapshot_phases():
+    return {k: round(v, 2) for k, v in phase_seconds.items()}
+
 
 def enable_compilation_cache(path=None):
     """Enable JAX's persistent compilation cache for this process.
