@@ -179,6 +179,83 @@ class TestDesignCLI:
                         covered[min(len(seq), b + 50)] -= 1
                 assert np.all(np.cumsum(covered[:-1]) > 0)
 
+    def test_two_segment_grouped_design(self, tmp_path, capsys):
+        """BASELINE config #2 analogue: a segmented species (Lassa
+        virus style — S and L segments as separate datasets,
+        /root/reference/README.md:163-179) designed at the large-tier
+        hybridization defaults m=5 / e=50 with grouping semantics
+        intact (no clustering override): each dataset is its own
+        grouping with its own set-cover universes, and the merged
+        output must cover every genome of both segments under the
+        design model."""
+        rng = np.random.default_rng(23)
+
+        def mutate(base, rate):
+            out = base.copy()
+            m = rng.random(len(out)) < rate
+            out[m] = rng.choice(list("ACGT"), size=int(m.sum()))
+            return "".join(out)
+
+        # Two segments at Lassa-like relative sizes (S ~3.4 kb /
+        # L ~7.2 kb, scaled down 4x to keep the CPU test fast), 6
+        # genomes each, ~4% within-segment divergence (Lassa is a
+        # notably diverse arenavirus)
+        seg_paths = []
+        for name, length in (("segS", 850), ("segL", 1800)):
+            base = rng.choice(list("ACGT"), size=length)
+            p = tmp_path / f"{name}.fasta"
+            with open(p, "w") as f:
+                for i in range(6):
+                    f.write(f">{name}_g{i}\n{mutate(base, 0.04)}\n")
+            seg_paths.append(str(p))
+
+        out = tmp_path / "probes.fasta"
+        args = design.init_and_parse_args("basic", [
+            *seg_paths, "-o", str(out), "-pl", "100", "-ps", "50",
+            "-m", "5", "-e", "50"])
+        design.main(args)
+        probes = seq_io.read_fasta(str(out))
+        assert len(probes) > 0
+        count = int(capsys.readouterr().out.strip())
+        assert count == len(probes)
+
+        # Coverage invariant: with e=50 extension, the merged probe
+        # set covers every position of every genome in BOTH segment
+        # datasets under the m=5 model (coverage=1.0 default).
+        from catch_tpu.ops.cover import CoverModel, ProbeSearcher
+        from catch_tpu.probe import Probe
+        searcher = ProbeSearcher(
+            [Probe.from_str(s) for s in probes.values()],
+            CoverModel(5, 100))
+        for path in seg_paths:
+            for g in seq_io.read_genomes_from_fasta(path):
+                for seq in g.seqs:
+                    covered = np.zeros(len(seq) + 1, dtype=np.int64)
+                    for spans in searcher.find_probe_covers(
+                            seq).values():
+                        for (a, b) in spans:
+                            covered[max(0, a - 50)] += 1
+                            covered[min(len(seq), b + 50)] -= 1
+                    assert np.all(np.cumsum(covered[:-1]) > 0), path
+
+        # Grouping invariant: the two datasets must have been solved
+        # as two separate groupings with per-grouping universes (6
+        # genomes each), not pooled into one 12-genome instance.
+        from catch_tpu.filters.duplicate import DuplicateFilter
+        from catch_tpu.filters.set_cover_filter import SetCoverFilter
+        from catch_tpu.designer import ProbeDesigner
+        groups = [seq_io.read_genomes_from_fasta(p) for p in seg_paths]
+        scf = SetCoverFilter(mismatches=5, lcf_thres=100,
+                             cover_extension=50)
+        d = ProbeDesigner(groups, [DuplicateFilter(), scf],
+                          probe_length=100, probe_stride=50)
+        d.design()
+        stats = scf.last_run_stats
+        assert stats["groups_device"] + stats["groups_host"] == 2
+        # and the API-level design agrees with the CLI's output
+        assert sorted(p.seq_str for p in d.final_probes) == \
+            sorted(probes.values())
+
 
 class TestDesignNaivelyCLI:
     def test_naive(self, small_fasta, capsys):
