@@ -169,6 +169,100 @@ def run_scale():
     return elapsed, len(designer.final_probes), total_bp
 
 
+# Solver-throughput config (BASELINE "set-cover iters/s" north star):
+# one synthetic instance at production scale — 1,048,576 positions
+# (128 universes x 8,192), 100,000 sets, ~4 intervals/set — solved by
+# (a) the lazy-greedy host solver (the production route; runs to
+# completion) and (b) the boundary-sum device solver (the
+# device-resident route; timed over a bounded number of dispatches).
+SOLVER_N_SETS = 100_000
+SOLVER_N_UNIV = 128
+SOLVER_U_LEN = 8192
+SOLVER_DEV_DISPATCH = 4
+
+
+def run_solver_throughput():
+    import numpy as np
+    import jax.numpy as jnp
+    from catch_tpu.ops import scan_instance, set_cover
+
+    rng = np.random.default_rng(5)
+    n_ivl = SOLVER_N_SETS * 4
+    set_ids = np.repeat(np.arange(SOLVER_N_SETS), 4)
+    univ_ids = rng.integers(0, SOLVER_N_UNIV, size=n_ivl)
+    starts = rng.integers(0, SOLVER_U_LEN - 400, size=n_ivl)
+    ends = starts + rng.integers(150, 400, size=n_ivl)
+    inst = set_cover.build_instance_from_cover_arrays(
+        set_ids, univ_ids, starts, ends, n_sets=SOLVER_N_SETS,
+        n_universes=SOLVER_N_UNIV,
+        universe_p=np.ones(SOLVER_N_UNIV))
+
+    t0 = time.time()
+    order = set_cover._solve_host_lazy(inst)
+    host_s = time.time() - t0
+    res = {
+        "positions": inst.u_len, "sets": SOLVER_N_SETS,
+        "intervals": len(inst.ivl_start),
+        "host_lazy_picks": len(order),
+        "host_lazy_s": round(host_s, 2),
+        "host_lazy_picks_per_s": round(len(order) / host_s, 1),
+    }
+
+    # Device boundary solver on the same instance: build the deferred
+    # dev dict the scan pipeline would have produced (keys sorted by
+    # (set, universe); coordinates already global so offsets are 0).
+    def pow2(x):
+        return 1 if x <= 1 else 1 << int(x - 1).bit_length()
+
+    try:
+        imax = np.iinfo(np.int32).max
+        k = (inst.set_of_pair.astype(np.int64)[inst.pair_of_ivl]
+             * SOLVER_N_UNIV
+             + inst.univ_of_pair[inst.pair_of_ivl])
+        OUT = pow2(len(k))
+
+        def pad(x, fill):
+            return jnp.asarray(np.concatenate(
+                [x.astype(np.int64),
+                 np.full(OUT - len(x), fill, np.int64)]).astype(
+                np.int32))
+
+        S_pad = pow2(SOLVER_N_SETS + 1)
+        nU_pad = pow2(SOLVER_N_UNIV + 1)
+        cost_p = np.ones(S_pad, np.float32)
+        rank_p = np.full(S_pad, inst.n_rank_vals, np.int32)
+        rank_p[:SOLVER_N_SETS] = inst.rank_idx
+        cu_p = np.zeros(nU_pad, np.int32)
+        cu_p[:SOLVER_N_UNIV] = inst.can_uncover
+        us_p = np.zeros(nU_pad, np.int32)
+        us_p[:SOLVER_N_UNIV] = inst.u_size
+        dev = dict(
+            cost=jnp.asarray(cost_p), rank_idx=jnp.asarray(rank_p),
+            can_uncover=jnp.asarray(cu_p), u_size=jnp.asarray(us_p),
+            U_pad=pow2(inst.u_len), n_rank_vals=inst.n_rank_vals,
+            S_pad=S_pad, nU_pad=nU_pad,
+            merged=(pad(k, imax), pad(inst.ivl_start, 0),
+                    pad(inst.ivl_end, 0)),
+            n_merged=len(k),
+            offsets=np.zeros(SOLVER_N_UNIV + 1, np.int64),
+            nU=SOLVER_N_UNIV)
+        scan_instance.ensure_assembled(dev)
+        # Warm dispatch (compile), then the timed bounded solve
+        set_cover.solve_boundary_instance(dev, SOLVER_N_SETS,
+                                          max_dispatches=1)
+        t0 = time.time()
+        dorder = set_cover.solve_boundary_instance(
+            dev, SOLVER_N_SETS, max_dispatches=SOLVER_DEV_DISPATCH)
+        dev_s = time.time() - t0
+        res["device_boundary_picks"] = len(dorder)
+        res["device_boundary_s"] = round(dev_s, 2)
+        res["device_boundary_picks_per_s"] = round(
+            len(dorder) / dev_s, 1) if dev_s > 0 else None
+    except Exception as e:  # pragma: no cover
+        res["device_boundary_error"] = repr(e)[:160]
+    return res
+
+
 # Expected probe-set hash of ACCEL_PARITY_CONFIG on the CPU host path
 # (188 probes).  The design is deterministic, so this is a committed
 # golden rather than a live CPU run (which costs ~60 s of the bench
@@ -362,6 +456,19 @@ def main():
                 out["scale_error"] = "timeout (budget %.0f s)" % left
             except Exception as e:  # pragma: no cover
                 out["scale_error"] = repr(e)[:200]
+        print(json.dumps(out), flush=True)
+
+        left = budget - (time.time() - t_start)
+        if left < 180:
+            out["solver_skipped"] = "budget (%.0f s left)" % left
+        else:
+            try:
+                with time_limit(int(min(left - 90, 420))):
+                    out["solver_throughput"] = run_solver_throughput()
+            except TimeoutException:
+                out["solver_throughput"] = {"error": "timeout"}
+            except Exception as e:  # pragma: no cover
+                out["solver_throughput"] = {"error": repr(e)[:160]}
         print(json.dumps(out), flush=True)
 
         left = budget - (time.time() - t_start)

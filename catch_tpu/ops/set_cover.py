@@ -859,7 +859,7 @@ def _steps_jit_v2(covered, len_u, in_cover, cur_rank, ivl_start, ivl_end,
     return covered, len_u, in_cover, cur_rank, stop, chosens, picks
 
 
-def solve_boundary_instance(dev, n_sets_real):
+def solve_boundary_instance(dev, n_sets_real, max_dispatches=None):
     """Solve a boundary-indexed device instance; return picks in order.
 
     `dev` is a dict of device (or host) arrays as consumed by
@@ -868,6 +868,8 @@ def solve_boundary_instance(dev, n_sets_real):
     solver ids 0..n_sets_real-1; the caller maps them back to candidate
     ids.  The big state stays on device; per dispatch only the
     (chosen, pick) step vectors and the stop flag are read back.
+    `max_dispatches` bounds the solve for throughput measurement (the
+    solution may then be truncated).
     """
     if "ivl_start" not in dev:
         # Instances from ops/scan_instance defer the boundary-array
@@ -879,7 +881,11 @@ def solve_boundary_instance(dev, n_sets_real):
         "univ_of_pair", "cost", "rank_idx", "can_uncover")]
     U_pad = int(dev["U_pad"])
     covered = _init_covered_jit(consts[0], consts[1], u_len_pad=U_pad)
-    len_u = jnp.asarray(dev["u_size"]).astype(jnp.int32)
+    # Forced copy: len_u is donated to the step program, and when
+    # dev["u_size"] is already an int32 device array astype() would
+    # alias it — a later solve on the same dev would then pass a
+    # deleted buffer.
+    len_u = jnp.array(dev["u_size"], dtype=jnp.int32, copy=True)
     in_cover = jnp.zeros((int(consts[5].shape[0]),), bool)
     cur_rank = jnp.int32(0)
     n_rank_vals = int(dev["n_rank_vals"])
@@ -887,6 +893,8 @@ def solve_boundary_instance(dev, n_sets_real):
     order = []
     max_dispatch = 2 + (n_sets_real + n_rank_vals
                         ) // max(1, _STEPS_PER_DISPATCH // 2)
+    if max_dispatches is not None:
+        max_dispatch = min(max_dispatch, max_dispatches)
     with maybe_trace("set_cover_solve"):
         for _ in range(max_dispatch):
             covered, len_u, in_cover, cur_rank, stop, chosens, picks = \
