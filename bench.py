@@ -263,6 +263,76 @@ def run_solver_throughput():
     return res
 
 
+# Avoid-path background config (BASELINE config #3 analogue; opt-in
+# with CATCH_TPU_BENCH_AVOID=1): the candidate ranks of an ebola
+# design are computed against a synthetic 100 Mbp background FASTA
+# streamed through the tolerant-model scan on BOTH strands (the
+# reference streams human-scale FASTAs here,
+# set_cover_filter.py:580-612).  Records bp/s and peak RSS.
+AVOID_BG_BP = 100_000_000
+AVOID_BG_CHROMS = 4
+
+
+def run_avoid_background():
+    import resource
+
+    import numpy as np
+    from catch_tpu.utils import seq_io
+    from catch_tpu.filters.duplicate import DuplicateFilter
+    from catch_tpu.filters.candidates import (
+        make_candidate_probes_from_sequences)
+    from catch_tpu.filters.set_cover_filter import SetCoverFilter
+
+    bg_dir = "/tmp/catch_tpu_bench"
+    os.makedirs(bg_dir, exist_ok=True)
+    bg_path = os.path.join(
+        bg_dir, "background_%dmbp.fasta" % (AVOID_BG_BP // 10**6))
+    genomes = seq_io.read_genomes_from_fasta(
+        "tests/data/zaire_ebolavirus.fasta.gz")[:8]
+    if not os.path.exists(bg_path):
+        rng = np.random.default_rng(11)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        per = AVOID_BG_BP // AVOID_BG_CHROMS
+        # Plant a few ebola fragments per chromosome so the scan has
+        # true positives to find (validates detection, not just
+        # throughput over random sequence)
+        frag_src = genomes[0].seqs[0]
+        with open(bg_path + ".tmp", "w") as f:
+            for c in range(AVOID_BG_CHROMS):
+                chrom = bases[rng.integers(0, 4, size=per)]
+                for _ in range(5):
+                    fs = int(rng.integers(0, len(frag_src) - 500))
+                    frag = np.frombuffer(
+                        frag_src[fs:fs + 500].encode(), dtype=np.uint8)
+                    at = int(rng.integers(0, per - 500))
+                    chrom[at:at + 500] = frag
+                f.write(">bgchrom%d\n" % c)
+                f.write(chrom.tobytes().decode())
+                f.write("\n")
+        os.replace(bg_path + ".tmp", bg_path)
+    cands = DuplicateFilter()._filter(
+        make_candidate_probes_from_sequences(
+            [s for g in genomes for s in g.seqs],
+            probe_length=100, probe_stride=50))
+    scf = SetCoverFilter(mismatches=2, lcf_thres=60,
+                         cover_extension=50,
+                         avoided_genomes=[bg_path])
+    t0 = time.time()
+    ranks = scf._make_ranks(cands, [genomes])
+    elapsed = time.time() - t0
+    scanned_bp = AVOID_BG_BP * 2   # both strands
+    return {
+        "background_bp": AVOID_BG_BP,
+        "strands": 2,
+        "n_candidates": len(cands),
+        "n_flagged": int(np.sum(ranks > ranks.min())),
+        "seconds": round(elapsed, 2),
+        "bp_per_s": int(scanned_bp / elapsed),
+        "peak_rss_mb": resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss // 1024,
+    }
+
+
 # Expected probe-set hash of ACCEL_PARITY_CONFIG on the CPU host path
 # (188 probes).  The design is deterministic, so this is a committed
 # golden rather than a live CPU run (which costs ~60 s of the bench
@@ -457,6 +527,16 @@ def main():
             except Exception as e:  # pragma: no cover
                 out["scale_error"] = repr(e)[:200]
         print(json.dumps(out), flush=True)
+
+        if os.environ.get("CATCH_TPU_BENCH_AVOID"):
+            try:
+                with time_limit(900):
+                    out["avoid_background"] = run_avoid_background()
+            except TimeoutException:
+                out["avoid_background"] = {"error": "timeout"}
+            except Exception as e:  # pragma: no cover
+                out["avoid_background"] = {"error": repr(e)[:160]}
+            print(json.dumps(out), flush=True)
 
         left = budget - (time.time() - t_start)
         if left < 180:
