@@ -32,12 +32,17 @@ Stages (all jitted, all state device-resident):
      touching intervals per (set, universe) pair with a segmented-scan
      running maximum; a second pass keyed by universe alone yields the
      per-universe coverage union (universe sizes and spans).
-  E. Assembly: dense pair ids, interval/pair boundary indices, and
-     global coordinates for the boundary-sum device solver
-     (ops/set_cover.solve_boundary_instance).
+  E. Assembly (DEFERRED — ensure_assembled): dense pair ids,
+     interval/pair boundary indices, and global coordinates for the
+     boundary-sum device solver (ops/set_cover.solve_boundary_instance).
+     The default route instead reads the merged instance back through
+     the compact pack (_pack_merged_jit: u16 key delta + narrow start
+     + u16 length, escape channel for overflowing rows) and solves
+     with the lazy-greedy host solver.
 
 Host traffic: the encoded corpus + small lookup tables up; per-dispatch
-counts, the tiny per-universe union, and the final pick list down.
+counts, the tiny per-universe union, the packed merged instance, and
+the final pick list down.
 
 Seeding guarantee (stride sampling).  Every qualifying cover contains a
 run of >= k_seed consecutive exact matches (the engine's exhaustive
