@@ -248,21 +248,43 @@ def _expand_hits_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, s):
     the sentinel _I32MAX.  Alignment a means probe offset 0 sits at
     corpus position a (possibly before the owning sequence start; the
     verify chunk clips).
+
+    Bucket resolution is scatter + cumsum, not binary search: the
+    original searchsorted-over-prefix-sums form needed ~19 rounds of
+    4M-element gathers plus four more 4M gathers for the per-bucket
+    fields — ~780 ms per subrange on a v5e, the dominant cost of the
+    whole join phase.  Here the bucket id b(t) is the running count of
+    bucket ENDS scattered at csum[i], and the per-bucket table offset
+    (lo[b] - csum_excl[b]) propagates by scattering its per-bucket
+    DELTA at each bucket start and cumsumming — the only remaining
+    gathers are the two unavoidable table lookups (~80 ms total).
+    Scatter width is Q (2^19) into T (2^22): small enough that the
+    poor-large-scatter rule (see module notes) does not bite.
     """
     iq = jnp.arange(Q, dtype=jnp.int32)
     cnt_sub = jnp.where((iq >= i0) & (iq < i1), cnt, 0)
     csum = jnp.cumsum(cnt_sub)
     total = csum[-1]
+    csum_excl = csum - cnt_sub
     t = jnp.arange(T, dtype=jnp.int32)
-    # Bucket of hit t = first sample whose inclusive prefix exceeds t
-    b = jnp.searchsorted(csum, t, side="right").astype(jnp.int32)
-    bc = jnp.minimum(b, Q - 1)
-    csum_excl = csum[bc] - cnt_sub[bc]
-    idx = lo[bc] + (t - csum_excl)
+
+    # b(t) = #{i : csum[i] <= t}: +1 scattered at each bucket end
+    ends = jnp.minimum(csum, T)          # ends at T drop harmlessly
+    b = jnp.cumsum(jnp.zeros((T + 1,), jnp.int32).at[ends].add(
+        1, mode="drop")[:T])
+    # offset(b) = lo[b] - csum_excl[b]; F(t) = offset(b(t)) via
+    # scattered deltas at bucket starts (telescopes through empty
+    # buckets, which share their start with the next bucket)
+    off = lo - csum_excl
+    d = jnp.concatenate([off[:1], off[1:] - off[:-1]])
+    starts = jnp.minimum(csum_excl, T)
+    F = jnp.cumsum(jnp.zeros((T + 1,), jnp.int32).at[starts].add(
+        d, mode="drop")[:T])
+    idx = F + t
     valid = t < total
     idxc = jnp.clip(idx, 0, tbl_p.shape[0] - 1)
     p = jnp.where(valid, tbl_p[idxc], _I32MAX)
-    a = jnp.where(valid, (g0 + bc) * s - tbl_pos[idxc], 0)
+    a = jnp.where(valid, (g0 + b) * s - tbl_pos[idxc], 0)
     return p, a
 
 
@@ -298,14 +320,23 @@ def _stage_b_jit(lo, cnt, g0, i0, i1, tbl_p, tbl_pos, *, T, Q, CAP, s):
 # Stage C: verification -> extended universe-local spans
 # ----------------------------------------------------------------------
 
+# Per-row cap on qualifying windows for the fast compaction: the
+# (row, window) -> span compaction runs jnp.nonzero over a (C, tsw)
+# domain, and tsw = 16 makes it 8x smaller than the full window count
+# (nonzero over the full domain was ~150 ms of a ~230 ms chunk).  Rows
+# with more qualifying windows than this are counted in the `ovf`
+# output and the caller re-dispatches the full-width variant.
+_TS_WINDOWS = 16
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "K", "C", "cap", "seed_req", "fast_ok",
-                     "ext"))
-def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
+                     "ext", "tsw"))
+def _stage_c_jit(mega, codes_shift, lens_perm, pc, ac, off, n_pairs,
                  seq_starts, seq_ends, seq_lens, chrom_off, univ_of_seq,
                  k_seed, lcf, nU, *, L, K, C, cap, seed_req, fast_ok,
-                 ext):
+                 ext, tsw=_TS_WINDOWS):
     """Verify candidates [off, off+C) and emit instance-ready spans.
 
     Window math identical to ops/scan_sparse._verify_core (module
@@ -314,20 +345,28 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     with cover extension applied, as (pair_key = probe * nU + universe,
     start, end) with sentinel keys beyond the qualifying count nq.
 
-    The window is indexed ALIGNMENT-relative (position i compares
-    mega[a+i] against probe[i], with the clipped overlap [i_lo, i_hi)
-    as a per-row validity band) so the probe side is a plain row
-    gather.  The earlier start-relative form needed a per-element
-    take_along_axis shift of the probe rows — ~16x slower than the row
-    gather on TPU and the single largest cost of the verify phase.
-    The corpus pad before the first sequence is wide enough that every
-    alignment is a valid (nonnegative) gather base.
+    The window is indexed relative to the WORD-ALIGNED alignment
+    a2 = a & ~3: the corpus is gathered as uint32 words at a2 >> 2
+    (4x fewer gather elements than the byte form — general gathers
+    lower element-wise on TPU at ~10 ns/element, so the (C, L) byte
+    gather alone was ~130 ms of a ~305 ms chunk) and unpacked with
+    vector shifts; the probe side stays a plain fast row gather by
+    storing FOUR pre-shifted copies of every probe row (codes_shift
+    row r*P_pad + p holds probe p's codes at columns [r, r+len)), so
+    no per-row data shift is ever needed.  The per-row validity band
+    [i_lo, i_hi) (now in a2-relative coordinates) and all window math
+    are shift-invariant.  The corpus pad before the first sequence
+    keeps every a2 a valid (nonnegative) gather base.
     """
+    Lw = L + 4                          # word-aligned window width
+    P_pad = codes_shift.shape[0] // 4
     i = off + jnp.arange(C, dtype=jnp.int32)
     vmask = i < n_pairs
     ic = jnp.minimum(i, pc.shape[0] - 1)
     pg = jnp.where(vmask, pc[ic], 0)
     a = jnp.where(vmask, ac[ic], 0)
+    r = a & 3
+    a2 = a - r
 
     n_seqs = seq_ends.shape[0]
     sid = jnp.clip(jnp.searchsorted(seq_ends, a, side="right"), 0,
@@ -341,14 +380,21 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     n_seq = s_hi - s_lo
     thres = jnp.minimum(jnp.minimum(lcf, plen), n_seq)
     thres = jnp.where(vmask, thres, 0)
-    i_lo = start - a                    # >= 0 by the leading pad
-    i_hi = jnp.maximum(en - a, i_lo)
+    i_lo = start - a2                   # >= 0 by the leading pad
+    i_hi = jnp.maximum(en - a2, i_lo)
 
-    jL = jnp.arange(L, dtype=jnp.int32)
-    t_cols = L + 1
-    abase = jnp.clip(a, 0, mega.shape[0] - L)
-    seq_vals = mega[abase[:, None] + jL[None, :]]
-    probe_vals = codes_perm[pg]
+    jL = jnp.arange(Lw, dtype=jnp.int32)
+    t_cols = Lw + 1
+    n_words = Lw // 4
+    mega32 = jax.lax.bitcast_convert_type(
+        mega.reshape(-1, 4), jnp.uint32)
+    wbase = jnp.clip(a2, 0, mega.shape[0] - Lw) >> 2
+    jw = jnp.arange(n_words, dtype=jnp.int32)
+    words = mega32[wbase[:, None] + jw[None, :]]          # (C, n_words)
+    seq_vals = jnp.stack(
+        [(words >> (8 * k)).astype(jnp.uint8) for k in range(4)],
+        axis=-1).reshape(C, Lw)
+    probe_vals = codes_shift[r * P_pad + pg]
     validj = ((jL[None, :] >= i_lo[:, None])
               & (jL[None, :] < i_hi[:, None]))
     match = (seq_vals == probe_vals) & (seq_vals > 0) & validj
@@ -371,7 +417,8 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     big = jnp.int32(1 << 30)
     sv = jnp.sort(jnp.where(mism, jL[None, :], big), axis=1)
     body = jnp.concatenate(
-        [sv, jnp.full((C, K + 1), big, jnp.int32)], axis=1)[:, :L + K + 1]
+        [sv, jnp.full((C, K + 1), big, jnp.int32)],
+        axis=1)[:, :Lw + K + 1]
     body = jnp.where(body >= big, i_hi[:, None], body)
     P = jnp.concatenate(
         [(i_lo - 1)[:, None], body], axis=1)
@@ -389,18 +436,34 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
                          (tq[None, :] == 0) & qual_fast[:, None], qual)
 
     nq = jnp.sum(qual, dtype=jnp.int32)
-    rows, ts = jnp.nonzero(qual, size=cap, fill_value=-1)
-    okr = rows >= 0
-    rc = jnp.maximum(rows, 0)
-    tc = jnp.maximum(ts, 0)
+    TS = min(tsw, t_cols)
+    if TS < t_cols:
+        # Compact each row's qualifying window ids to its left edge
+        # (cheap row sort), then enumerate over the (C, TS) domain.
+        qt = jnp.sum(qual, axis=1, dtype=jnp.int32)
+        ovf = jnp.sum(qt > TS, dtype=jnp.int32)
+        tv = jnp.sort(jnp.where(qual, tq[None, :], jnp.int32(t_cols)),
+                      axis=1)[:, :TS]
+        qual2 = tv < t_cols
+        rows, slots = jnp.nonzero(qual2, size=cap, fill_value=-1)
+        okr = rows >= 0
+        rc = jnp.maximum(rows, 0)
+        tc = tv[rc, jnp.maximum(slots, 0)]
+        tc = jnp.minimum(tc, t_cols - 1)
+    else:
+        ovf = jnp.int32(0)
+        rows, ts = jnp.nonzero(qual, size=cap, fill_value=-1)
+        okr = rows >= 0
+        rc = jnp.maximum(rows, 0)
+        tc = jnp.maximum(ts, 0)
     if fast_ok:
         sp_s = jnp.where(is_fast[rc], start[rc],
-                         P[rc, tc] + 1 + a[rc])
+                         P[rc, tc] + 1 + a2[rc])
         sp_e = jnp.where(is_fast[rc], start[rc] + ov[rc],
-                         P[rc, tc + K + 1] + a[rc])
+                         P[rc, tc + K + 1] + a2[rc])
     else:
-        sp_s = P[rc, tc] + 1 + a[rc]
-        sp_e = P[rc, tc + K + 1] + a[rc]
+        sp_s = P[rc, tc] + 1 + a2[rc]
+        sp_e = P[rc, tc + K + 1] + a2[rc]
 
     # Instance coordinates: chromosome-local, extended, clamped, offset
     # into the genome (universe), keyed by (probe, universe).
@@ -414,7 +477,7 @@ def _stage_c_jit(mega, codes_perm, lens_perm, pc, ac, off, n_pairs,
     key = jnp.where(okr, pg[rc] * nU + univ_of_seq[sidr], _I32MAX)
     us = jnp.where(okr, us, 0)
     ue = jnp.where(okr, ue, 0)
-    return key, us, ue, nq
+    return key, us, ue, nq, ovf
 
 
 # ----------------------------------------------------------------------
@@ -758,6 +821,15 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     codes_perm[:P] = searcher.probe_codes[perm]
     lens_perm = np.zeros(P_pad, dtype=np.int32)
     lens_perm[:P] = searcher.probe_lens[perm].astype(np.int32)
+    # Stage C's probe side: four pre-shifted copies of every probe row
+    # (row r*P_pad + p holds probe p at columns [r, r+L)) so the
+    # word-aligned corpus gather needs no per-row data shift — see
+    # _stage_c_jit.
+    Lw = L + 4
+    codes_shift = np.zeros((4 * P_pad, Lw), dtype=np.uint8)
+    for rr in range(4):
+        codes_shift[rr * P_pad:(rr + 1) * P_pad, rr:rr + L] = \
+            codes_perm[:, :L]
 
     # Mesh scale-out: stages A/B/C are embarrassingly parallel over
     # sample slabs / hit subranges / candidate chunks, so dispatches
@@ -780,7 +852,7 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
         return [jax.device_put(a, d) for d in devices]
 
     mega_dev = rep(mega)
-    codes_dev = rep(codes_perm)
+    codes_dev = rep(codes_shift)
     lens_dev = rep(lens_perm)
     seq_starts_dev = rep(starts_p.astype(np.int32))
     seq_ends_dev = rep(ends_p.astype(np.int32))
@@ -952,7 +1024,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
         merged_bufs.append((mk, ms, me))
         chunk_accum = []
 
-    def _dispatch_c(di, p_c, a_c, n, off, C, cap):
+    def _dispatch_c(di, p_c, a_c, n, off, C, cap, tsw=_TS_WINDOWS):
         return _stage_c_jit(
             mega_dev[di], codes_dev[di], lens_dev[di], p_c, a_c,
             jnp.int32(off), jnp.int32(n), seq_starts_dev[di],
@@ -960,7 +1032,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             chrom_off_dev[di], univ_of_seq_dev[di],
             jnp.int32(k_seed), jnp.int32(searcher.lcf_static),
             jnp.int32(nU), L=L, K=K, C=C, cap=cap, seed_req=seed_req,
-            fast_ok=searcher.fast_ok, ext=ext)
+            fast_ok=searcher.fast_ok, ext=ext, tsw=tsw)
 
     # Chunk width bucketed per pair buffer (a 100k-pair group must not
     # verify at full chunk width); a narrower chunk also gets a
@@ -982,16 +1054,27 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
             pend.append((di, p_c, a_c, n, off,
                          _dispatch_c(di, p_c, a_c, n, off, C_eff,
                                      cap_eff)))
-        counts_c = _gather_counts([x[5][3] for x in pend], devices)
-        for ((di, p_c, a_c, n, off, (key, us, ue, nq)),
-             nqi, (_, _, _, _, _, C_eff, cap_eff)) in zip(
-                pend, counts_c, chunks[w0:w0 + wave]):
+        scalars = []
+        for x in pend:
+            scalars.extend([x[5][3], x[5][4]])
+        counts_c = _gather_counts(scalars, devices)
+        for w, ((di, p_c, a_c, n, off, (key, us, ue, nq, ovf)),
+                (_, _, _, _, _, C_eff, cap_eff)) in enumerate(
+                zip(pend, chunks[w0:w0 + wave])):
+            nqi, ovfi = counts_c[2 * w], counts_c[2 * w + 1]
             cap = cap_eff
-            while nqi > cap:   # rare overflow: re-run wider
-                cap = _next_pow2(nqi)
-                key, us, ue, nq = _dispatch_c(di, p_c, a_c, n, off,
-                                              C_eff, cap)
-                nqi = int(nq)
+            tsw = _TS_WINDOWS
+            # Rare re-runs: a row with more qualifying windows than
+            # the per-row slot cap forces the full-width compaction
+            # variant; a span count beyond the buffer re-runs wider.
+            while ovfi > 0 or nqi > cap:
+                if ovfi > 0:
+                    tsw = 1 << 30        # clamped to the window count
+                if nqi > cap:
+                    cap = _next_pow2(nqi)
+                key, us, ue, nq, ovf = _dispatch_c(
+                    di, p_c, a_c, n, off, C_eff, cap, tsw)
+                nqi, ovfi = int(nq), int(ovf)
             if nqi == 0:
                 continue
             span_total += nqi

@@ -442,6 +442,15 @@ class TestOverflowAndRetryPaths:
         rng = np.random.default_rng(29)
         self._parity(_corpus(rng, 5, 1500))
 
+    def test_window_slot_overflow_rerun(self, small_shapes,
+                                        monkeypatch):
+        """A row with more qualifying windows than the per-row slot
+        cap (_TS_WINDOWS) must re-dispatch the full-width compaction
+        variant — output identical."""
+        monkeypatch.setattr(scan_instance, "_TS_WINDOWS", 1)
+        rng = np.random.default_rng(41)
+        self._parity(_corpus(rng, 5, 1500, mut=0.06))
+
     def test_union_cap_rerun(self, small_shapes, monkeypatch):
         """Per-universe union runs exceeding _UNION_CAP trigger the
         wider re-run readback."""
