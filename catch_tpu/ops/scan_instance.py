@@ -201,32 +201,80 @@ def _hash_samples_jit(mega, g0, n_last, *, kj, s, Q):
 _PLAN_BLOCK = 1 << 10
 
 
-@jax.jit
-def _lookup_jit(tbl_h, q):
-    """Table hit ranges per sample hash: (lo, cnt, bs_lo, bs_hi).
+# Radix-bucket parameters for the table lookup: queries first index a
+# 2^_LK_BITS-entry prefix table of bucket boundaries, then bisect only
+# within their bucket for _LK_ROUNDS rounds (covers buckets up to
+# 2^_LK_ROUNDS entries).  jnp.searchsorted's full bisection is ~22
+# rounds of Q-element gathers (~410 ms per 2^19-query slab on a v5e);
+# this form needs 2 boundary gathers + 2x_LK_ROUNDS.  Buckets wider
+# than 2^_LK_ROUNDS (heavily duplicated kj-mers) are detected via the
+# max real-bucket width returned to the caller, which re-dispatches
+# the exact full-bisection variant.
+_LK_BITS = 16
+_LK_ROUNDS = 8
 
-    lo/cnt are i32[Q]; bs_lo/bs_hi are i32[Q/_PLAN_BLOCK] per-block
-    sums of the low/high 16-bit halves of cnt, combined on the host
-    into an exact int64 hit-count grid (a plain int32 cumsum readback
-    can wrap past 2^31 hits per slab and silently corrupt subrange
-    planning).  Sentinel hashes (HMAX) never match (table rows are
-    clamped below HMAX), so their cnt is 0 without extra masking...
-    except that pad rows of the table ARE the sentinel, so mask
-    explicitly.
-    """
-    lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(tbl_h, q, side="right").astype(jnp.int32)
+
+def _lookup_core(tbl_h, q, full):
+    TBL = tbl_h.shape[0]
+    if full:
+        lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(tbl_h, q, side="right").astype(jnp.int32)
+        maxb = jnp.int32(0)
+    else:
+        shift = 32 - _LK_BITS
+        edges = jnp.concatenate([
+            (jnp.arange(1 << _LK_BITS, dtype=jnp.uint32)
+             * jnp.uint32(1 << shift)),
+            jnp.full((1,), _HMAX, jnp.uint32)])   # last edge: first
+        bnd = jnp.searchsorted(tbl_h, edges,      # sentinel row
+                               side="left").astype(jnp.int32)
+        maxb = jnp.max(bnd[1:] - bnd[:-1])
+        qj = (q >> shift).astype(jnp.int32)
+        lo0 = bnd[qj]
+        hi0 = bnd[qj + 1]
+
+        def bisect(pred):
+            lo_b, hi_b = lo0, hi0
+            for _ in range(_LK_ROUNDS):
+                mid = (lo_b + hi_b) >> 1
+                v = tbl_h[jnp.minimum(mid, TBL - 1)]
+                go = pred(v)
+                lo_b = jnp.where(go, mid + 1, lo_b)
+                hi_b = jnp.where(go, hi_b, mid)
+            return lo_b
+
+        lo = bisect(lambda v: v < q)
+        hi = bisect(lambda v: v <= q)
     cnt = jnp.where(q != _HMAX, hi - lo, 0)
     bs = min(_PLAN_BLOCK, cnt.shape[0])
     blocks = cnt.reshape(-1, bs)
     bs_lo = jnp.sum(blocks & 0xFFFF, axis=1, dtype=jnp.int32)
     bs_hi = jnp.sum(blocks >> 16, axis=1, dtype=jnp.int32)
-    return lo, cnt, bs_lo, bs_hi
+    return lo, cnt, bs_lo, bs_hi, maxb
 
 
-def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q):
+@functools.partial(jax.jit, static_argnames=("full",))
+def _lookup_jit(tbl_h, q, *, full=False):
+    """Table hit ranges per sample hash: (lo, cnt, bs_lo, bs_hi, maxb).
+
+    lo/cnt are i32[Q]; bs_lo/bs_hi are i32[Q/_PLAN_BLOCK] per-block
+    sums of the low/high 16-bit halves of cnt, combined on the host
+    into an exact int64 hit-count grid (a plain int32 cumsum readback
+    can wrap past 2^31 hits per slab and silently corrupt subrange
+    planning).  maxb is the widest real hash bucket (see _LK_BITS
+    notes); when it exceeds 2^_LK_ROUNDS the bucketed results are
+    invalid and the caller re-dispatches with full=True (exact
+    searchsorted, maxb = 0).  Sentinel hashes (HMAX) never match
+    (table rows are clamped below HMAX), so their cnt is 0 without
+    extra masking... except that pad rows of the table ARE the
+    sentinel, so mask explicitly.
+    """
+    return _lookup_core(tbl_h, q, full)
+
+
+def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q, full=False):
     q = _hash_samples_jit(mega, g0, n_last, kj=kj, s=s, Q=Q)
-    return _lookup_jit(tbl_h, q)
+    return _lookup_jit(tbl_h, q, full=full)
 
 
 # ----------------------------------------------------------------------
@@ -746,9 +794,12 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
         pid_of[perm[order]]), or None when this workload cannot run on
         the device path (custom model, or coordinates exceeding int32).
     """
+    import time as _time
+
     model = searcher.model
     if model.custom_fn is not None or searcher.K_static is None:
         return None
+    _t_setup = _time.time()
     P = len(searcher.probes)
     nU = int(n_universes)
     if P == 0 or nU == 0 or not sequences:
@@ -866,6 +917,13 @@ def scan_to_boundary_instance(searcher, sequences, seq_univ, chrom_off,
     max_pos = int((chrom_off_p[:n_seqs] + seq_lens_p[:n_seqs]).max()) \
         if n_seqs else 0
 
+    from catch_tpu.utils import profiling
+    _dt = _time.time() - _t_setup
+    searcher.stats.setdefault("phase_seconds", {})
+    searcher.stats["phase_seconds"]["setup"] = \
+        searcher.stats["phase_seconds"].get("setup", 0.0) + _dt
+    profiling.add_phase("scan:setup", _dt)
+
     with maybe_trace("scan_instance"):
         return _run_pipeline(
             searcher, devices, mega_dev, codes_dev, codes_perm,
@@ -923,10 +981,22 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     slabs = []
     for si, g0 in enumerate(range(0, n_samples, slab_q)):
         di = si % n_dev
-        lo, cnt, bs_lo, bs_hi = _stage_a_jit(
+        lo, cnt, bs_lo, bs_hi, maxb = _stage_a_jit(
             mega_dev[di], jnp.int32(g0), jnp.int32(n_last),
             tbl_by_dev[di][0], kj=kj, s=s, Q=slab_q)
-        slabs.append((di, g0, lo, cnt, bs_lo, bs_hi))
+        slabs.append([di, g0, lo, cnt, bs_lo, bs_hi, maxb])
+    # Bucketed-lookup escalation: a hash bucket too wide for the
+    # bounded bisection (heavily duplicated kj-mers) invalidates the
+    # whole wave — one batched readback of the per-slab max widths,
+    # then exact full-bisection re-dispatches where needed.
+    maxbs = _gather_counts([x[6] for x in slabs], devices)
+    for sl, mb in zip(slabs, maxbs):
+        if mb >= (1 << _LK_ROUNDS):
+            di, g0 = sl[0], sl[1]
+            lo, cnt, bs_lo, bs_hi, _ = _stage_a_jit(
+                mega_dev[di], jnp.int32(g0), jnp.int32(n_last),
+                tbl_by_dev[di][0], kj=kj, s=s, Q=slab_q, full=True)
+            sl[2:6] = [lo, cnt, bs_lo, bs_hi]
     t0 = _mark("table_and_hash", t0)
 
     # Stage B: expansion subranges with <= _T_SLAB hits each; each
@@ -934,7 +1004,7 @@ def _run_pipeline(searcher, devices, mega_dev, codes_dev, codes_perm,
     pending_b = []   # dispatched, counts not yet read
     pair_bufs = []   # (device idx, p_c, a_c, n)
     n_candidates = 0
-    for di, g0, lo, cnt, bs_lo, bs_hi in slabs:
+    for di, g0, lo, cnt, bs_lo, bs_hi, _maxb in slabs:
         # One per-block readback of the hit sums per slab; every
         # subrange decision below is host math on the exact int64
         # prefix grid built from the 16-bit halves (see _lookup_jit).

@@ -400,7 +400,7 @@ def test_plan_grid_matches_exact_counts(small_shapes):
         np.frombuffer("".join(seqs).encode(), dtype=np.uint8))
     mega = np.zeros(Q * s + kj + 8, dtype=np.uint8)
     mega[:len(corpus)] = corpus
-    lo, cnt, bs_lo, bs_hi = scan_instance._stage_a_jit(
+    lo, cnt, bs_lo, bs_hi, _maxb = scan_instance._stage_a_jit(
         jnp.asarray(mega), jnp.int32(0), jnp.int32(len(corpus) - kj),
         tbl_h, kj=kj, s=s, Q=Q)
     block64 = (np.asarray(bs_lo).astype(np.int64)
@@ -441,6 +441,16 @@ class TestOverflowAndRetryPaths:
         monkeypatch.setattr(scan_instance, "_SPAN_CAP", 1 << 6)
         rng = np.random.default_rng(29)
         self._parity(_corpus(rng, 5, 1500))
+
+    def test_lookup_bucket_overflow_full_bisection(self, small_shapes,
+                                                   monkeypatch):
+        """Hash buckets wider than the bounded bisection covers must
+        trigger the exact full-searchsorted re-dispatch — output
+        identical.  _LK_ROUNDS=0 makes every nonempty bucket
+        overflow."""
+        monkeypatch.setattr(scan_instance, "_LK_ROUNDS", 0)
+        rng = np.random.default_rng(43)
+        self._parity(_corpus(rng, 4, 1400))
 
     def test_window_slot_overflow_rerun(self, small_shapes,
                                         monkeypatch):
