@@ -14,6 +14,7 @@ reproducible.
 """
 
 import logging
+import os
 import time
 
 from catch_tpu.filters import candidates as candidate_probes
@@ -123,6 +124,10 @@ class ProbeDesigner:
 
     def _pass_through_filters(self, probes, genomes, filters):
         assert len(probes) == len(genomes)
+        if (len(probes) > 1 and len(filters) > 1
+                and all(f.group_local for f in filters)):
+            return self._filter_groups_pipelined(probes, genomes,
+                                                 filters)
         for f in filters:
             logger.info("Starting filter %s", f.__class__.__name__)
             t0 = time.time()
@@ -130,6 +135,62 @@ class ProbeDesigner:
             profiling.add_phase("filter:" + f.__class__.__name__,
                                 time.time() - t0)
         return probes
+
+    def _filter_groups_pipelined(self, probes, genomes, filters):
+        """Run the whole filter chain per group, groups overlapped on a
+        thread pool, device-bound filters serialized on a lock.
+
+        The stage-at-a-time loop leaves the accelerator idle while
+        host-bound stages (e.g. MinHash near-duplicate collapsing) run
+        and the host idle while the device scans — on a clustered
+        design with ~100 groups that is minutes of dead time each way.
+        Every filter here is group-local (checked by the caller), so
+        running group g's chain end-to-end is output-identical to the
+        stage loop; only scheduling changes.  Per-filter phase
+        accounting becomes cumulative busy time across threads (may
+        exceed wall-clock).
+        """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from catch_tpu.filters import base as filter_base
+
+        logger.info("Running %d filters over %d groups pipelined",
+                    len(filters), len(probes))
+        locks = {id(f): threading.Lock() for f in filters
+                 if f.device_bound}
+        for f in filters:
+            if hasattr(f, "last_run_stats"):
+                f.last_run_stats = None
+            f.stats_accumulate = True
+        try:
+            def run_group(g):
+                p = probes[g]
+                for f in filters:
+                    t0 = time.time()
+                    lk = locks.get(id(f))
+                    if lk is None:
+                        p = f.filter([p], [genomes[g]],
+                                     input_is_grouped=True)[0]
+                    else:
+                        with lk:
+                            p = f.filter([p], [genomes[g]],
+                                         input_is_grouped=True)[0]
+                    profiling.add_phase(
+                        "filter:" + f.__class__.__name__,
+                        time.time() - t0)
+                return p
+
+            workers = (filter_base._max_num_processes
+                       or min(os.cpu_count() or 1, 8))
+            # one extra worker so a group can occupy the device while
+            # `workers` others run host-bound stages
+            workers = max(2, min(workers + 1, len(probes)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                return list(pool.map(run_group, range(len(probes))))
+        finally:
+            for f in filters:
+                f.stats_accumulate = False
 
     def _pass_through_filters_ungrouped(self, probes, genomes, filters):
         for f in filters:

@@ -44,6 +44,23 @@ class BaseFilter:
     ``_filter(input, target_genomes)`` returning the processed probes.
     """
 
+    # True when the filter consumes the accelerator: the designer's
+    # cross-stage group pipeline serializes such filters on a lock
+    # (one device, many host threads) — see ProbeDesigner.
+    device_bound = False
+
+    @property
+    def group_local(self):
+        """Whether group g's output depends only on group g's input —
+        the condition for running whole filter CHAINS per group
+        concurrently.  One-argument per-group filters are group-local
+        by construction; filters that see target genomes (grouping-
+        aware or not — e.g. AdapterFilter's votes span all groupings)
+        must opt in explicitly."""
+        if getattr(self, "requires_probe_groupings", False):
+            return False
+        return len(inspect.signature(self._filter).parameters) == 1
+
     def filter(self, input, target_genomes=None, input_is_grouped=False,
                num_processes=None):
         """Perform the filtering.

@@ -37,6 +37,16 @@ def _reverse_complement(sequence):
 class SetCoverFilter(BaseFilter):
     """Selects candidate probes via greedy multi-universe set cover."""
 
+    device_bound = True
+
+    @property
+    def group_local(self):
+        # Identification ranks count hits across ALL groupings, so the
+        # filter is only safe to run one group at a time when
+        # identification is off.  (Avoided-genome ranks scan only the
+        # group's own candidates against external FASTAs — group-local.)
+        return not self.identify
+
     def __init__(self, mismatches, lcf_thres, island_of_exact_match=0,
                  mismatches_tolerant=None, lcf_thres_tolerant=None,
                  island_of_exact_match_tolerant=None,
@@ -350,9 +360,14 @@ class SetCoverFilter(BaseFilter):
     def _filter(self, input, target_genomes_grouped):
         """Per-group set-cover selection; input is grouped probes."""
         import time as _time
-        stats = {"scan_seconds": 0.0, "solve_seconds": 0.0,
-                 "candidates_evaluated": 0, "set_cover_picks": 0,
-                 "groups_device": 0, "groups_host": 0}
+        # The designer's group pipeline calls this once per group;
+        # with accumulation on, totals aggregate across those calls
+        # instead of each call resetting the run stats.
+        stats = getattr(self, "last_run_stats", None)
+        if stats is None or not getattr(self, "stats_accumulate", False):
+            stats = {"scan_seconds": 0.0, "solve_seconds": 0.0,
+                     "candidates_evaluated": 0, "set_cover_picks": 0,
+                     "groups_device": 0, "groups_host": 0}
         self.last_run_stats = stats
         selected_probes = []
         for group_i, (possible_probes, target_genomes) in enumerate(

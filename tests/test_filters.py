@@ -430,3 +430,60 @@ class TestProbeDesigner:
         # Candidates from all four sequences were produced (19 tiles
         # per 600-nt sequence at stride 30)
         assert len(pd.candidate_probes) == 4 * 19
+
+    def test_pipelined_groups_match_stage_loop(self):
+        """The cross-stage group pipeline (whole filter chain per
+        group, groups overlapped) must produce exactly what the
+        stage-at-a-time loop produces, per group and in order."""
+        import numpy as np
+        rng = np.random.default_rng(5)
+
+        def fam(seed_seq, n):
+            out = []
+            for _ in range(n):
+                s = np.array(list(seed_seq))
+                m = rng.random(len(s)) < 0.02
+                s[m] = rng.choice(list("ACGT"), size=int(m.sum()))
+                out.append(Genome.from_one_seq("".join(s)))
+            return out
+
+        groups = [fam("".join(rng.choice(list("ACGT"), size=500)), 4)
+                  for _ in range(5)]
+        probes = [cp.make_candidate_probes_from_sequences(
+            [s for g in grp for s in g.seqs], probe_length=60,
+            probe_stride=30) for grp in groups]
+
+        def chain():
+            return [NearDuplicateFilterWithMinHash(0.6),
+                    SetCoverFilter(mismatches=1, lcf_thres=60,
+                                   cover_extension=10)]
+
+        f_serial = chain()
+        pd = ProbeDesigner(groups, f_serial, probe_length=60,
+                           probe_stride=30)
+        serial = probes
+        for f in f_serial:
+            serial = f.filter(serial, groups, input_is_grouped=True)
+
+        f_pipe = chain()
+        pd2 = ProbeDesigner(groups, f_pipe, probe_length=60,
+                            probe_stride=30)
+        assert all(f.group_local for f in f_pipe)
+        piped = pd2._filter_groups_pipelined(probes, groups, f_pipe)
+
+        assert len(piped) == len(serial)
+        for g, (a, b) in enumerate(zip(serial, piped)):
+            assert [p.seq_str for p in a] == [p.seq_str for p in b], g
+        # accumulated stats cover all groups
+        stats = f_pipe[-1].last_run_stats
+        assert stats["groups_device"] + stats["groups_host"] == \
+            len(groups)
+
+    def test_adapter_filter_not_group_local(self):
+        af = AdapterFilter(("AT", "CG"), ("GG", "TT"), mismatches=0,
+                           lcf_thres=6)
+        assert af.group_local is False
+        scf = SetCoverFilter(mismatches=0, lcf_thres=6, identify=True,
+                             coverage=0.5)
+        assert scf.group_local is False
+        assert DuplicateFilter().group_local is True
