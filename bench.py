@@ -476,6 +476,9 @@ def main():
                 out["flu10k_bp"] = f_bp
                 out["flu10k_n_probes"] = f_probes
                 out["flu10k_bp_per_s"] = int(f_bp / f_el)
+                # NB: filter phases are cumulative BUSY time across
+                # the group-pipeline threads, so they sum past
+                # wall-clock when stages overlap (by design)
                 out["flu10k_phases"] = f_phases
                 out["flu10k_reference"] = FLU_REF
             except TimeoutException:

@@ -167,18 +167,24 @@ class ProbeDesigner:
             def run_group(g):
                 p = probes[g]
                 for f in filters:
-                    t0 = time.time()
                     lk = locks.get(id(f))
                     if lk is None:
+                        t0 = time.time()
                         p = f.filter([p], [genomes[g]],
                                      input_is_grouped=True)[0]
+                        profiling.add_phase(
+                            "filter:" + f.__class__.__name__,
+                            time.time() - t0)
                     else:
                         with lk:
+                            # timed inside the lock so the phase is
+                            # busy time, not queue wait
+                            t0 = time.time()
                             p = f.filter([p], [genomes[g]],
                                          input_is_grouped=True)[0]
-                    profiling.add_phase(
-                        "filter:" + f.__class__.__name__,
-                        time.time() - t0)
+                            profiling.add_phase(
+                                "filter:" + f.__class__.__name__,
+                                time.time() - t0)
                 return p
 
             workers = (filter_base._max_num_processes
