@@ -372,13 +372,23 @@ class BatchedNearNeighbor:
             if dev is not None:
                 sig[idxs] = dev
                 continue
-            buf = np.empty_like(codes)
-            tmp = np.empty_like(codes)
-            for t in range(H):
-                np.multiply(codes, ab[t, 0], out=buf)
-                np.add(buf, ab[t, 1], out=buf)
-                _mod_mersenne(buf, tmp)
-                sig[idxs, t] = buf.min(axis=1)
+            # Row blocks sized to keep the code matrix L2-resident
+            # across all H hash evaluations: the straight loop
+            # streams the full (U, n) uint64 matrix from RAM ~8x per
+            # hash function, and with H ~ 75 that memory traffic IS
+            # the near-duplicate filter's runtime.
+            n_cols = max(1, codes.shape[1])
+            rows_blk = max(16, (1 << 18) // (n_cols * 8))
+            for r0 in range(0, codes.shape[0], rows_blk):
+                c = codes[r0:r0 + rows_blk]
+                buf = np.empty_like(c)
+                tmp = np.empty_like(c)
+                rows = idxs[r0:r0 + rows_blk]
+                for t in range(H):
+                    np.multiply(c, ab[t, 0], out=buf)
+                    np.add(buf, ab[t, 1], out=buf)
+                    _mod_mersenne(buf, tmp)
+                    sig[rows, t] = buf.min(axis=1)
         self._sig = sig
 
     def _build_hamming(self):
