@@ -124,7 +124,9 @@ class ProbeDesigner:
 
     def _pass_through_filters(self, probes, genomes, filters):
         assert len(probes) == len(genomes)
+        from catch_tpu.filters import base as filter_base
         if (len(probes) > 1 and len(filters) > 1
+                and (filter_base._max_num_processes or 2) > 1
                 and all(f.group_local for f in filters)):
             return self._filter_groups_pipelined(probes, genomes,
                                                  filters)
@@ -157,8 +159,11 @@ class ProbeDesigner:
 
         logger.info("Running %d filters over %d groups pipelined",
                     len(filters), len(probes))
-        locks = {id(f): threading.Lock() for f in filters
-                 if f.device_bound}
+        # ONE lock shared by every device-bound filter: there is one
+        # accelerator, and per-filter locks would let two device-bound
+        # stages from different groups interleave on it.
+        device_lock = threading.Lock()
+        locks = {id(f): device_lock for f in filters if f.device_bound}
         for f in filters:
             if hasattr(f, "last_run_stats"):
                 f.last_run_stats = None

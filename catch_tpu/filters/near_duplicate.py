@@ -25,6 +25,15 @@ __all__ = ["NearDuplicateFilter", "NearDuplicateFilterWithHammingDistance",
 class NearDuplicateFilter(BaseFilter):
     """Removes near-duplicates using LSH (abstract; see subclasses)."""
 
+    @property
+    def device_bound(self):
+        # The batched signature build dispatches accelerator work only
+        # when the opt-in device-signature path is enabled; the
+        # designer's group pipeline must then serialize this filter on
+        # the shared device lock like the set-cover scan.
+        from catch_tpu.utils import lsh
+        return lsh._DEVICE_SIG_MIN_CELLS < (1 << 62)
+
     def __init__(self, k, reporting_prob=0.80):
         self.k = k
         self.reporting_prob = reporting_prob

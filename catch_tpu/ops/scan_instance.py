@@ -214,7 +214,7 @@ _LK_BITS = 16
 _LK_ROUNDS = 8
 
 
-def _lookup_core(tbl_h, q, full):
+def _lookup_core(tbl_h, q, full, rounds):
     TBL = tbl_h.shape[0]
     if full:
         lo = jnp.searchsorted(tbl_h, q, side="left").astype(jnp.int32)
@@ -235,7 +235,7 @@ def _lookup_core(tbl_h, q, full):
 
         def bisect(pred):
             lo_b, hi_b = lo0, hi0
-            for _ in range(_LK_ROUNDS):
+            for _ in range(rounds):
                 mid = (lo_b + hi_b) >> 1
                 v = tbl_h[jnp.minimum(mid, TBL - 1)]
                 go = pred(v)
@@ -253,8 +253,8 @@ def _lookup_core(tbl_h, q, full):
     return lo, cnt, bs_lo, bs_hi, maxb
 
 
-@functools.partial(jax.jit, static_argnames=("full",))
-def _lookup_jit(tbl_h, q, *, full=False):
+@functools.partial(jax.jit, static_argnames=("full", "rounds"))
+def _lookup_jit(tbl_h, q, *, full, rounds):
     """Table hit ranges per sample hash: (lo, cnt, bs_lo, bs_hi, maxb).
 
     lo/cnt are i32[Q]; bs_lo/bs_hi are i32[Q/_PLAN_BLOCK] per-block
@@ -269,12 +269,14 @@ def _lookup_jit(tbl_h, q, *, full=False):
     extra masking... except that pad rows of the table ARE the
     sentinel, so mask explicitly.
     """
-    return _lookup_core(tbl_h, q, full)
+    return _lookup_core(tbl_h, q, full, rounds)
 
 
 def _stage_a_jit(mega, g0, n_last, tbl_h, *, kj, s, Q, full=False):
     q = _hash_samples_jit(mega, g0, n_last, kj=kj, s=s, Q=Q)
-    return _lookup_jit(tbl_h, q, full=full)
+    # rounds is passed as an explicit static argument (not read as a
+    # trace-time global) so it participates in the jit cache key
+    return _lookup_jit(tbl_h, q, full=full, rounds=_LK_ROUNDS)
 
 
 # ----------------------------------------------------------------------

@@ -237,7 +237,9 @@ def _assign_to_reps_jit(qs, rs, n_reps, cap_thr, *, N):
 
 @functools.partial(jax.jit, static_argnames=("N",))
 def _pair_caps_jit(qs, rs, *, N):
-    """(Q, R) capped-intersection counts as uint8 (N <= 255)."""
+    """(Q, R) capped-intersection counts, in the narrowest dtype that
+    holds N (counts are <= N; uint8 would silently wrap for signature
+    lengths above 255)."""
     A = qs[:, None, :]
     R = rs.shape[0]
 
@@ -253,7 +255,7 @@ def _pair_caps_jit(qs, rs, *, N):
     init = (jnp.zeros((A.shape[0], R), jnp.int32),
             jnp.zeros((A.shape[0], R), jnp.int32), jnp.int32(0))
     (_, cap, _), _ = jax.lax.scan(step, init, rs.T)
-    return cap.astype(jnp.uint8)
+    return cap.astype(jnp.uint8 if N <= 255 else jnp.int32)
 
 
 # Above this many sequences the all-pairs methods are replaced by the
@@ -270,9 +272,11 @@ _WAVE = 2048
 def cluster_greedy_from_signatures(signatures, threshold_jaccard, N):
     """Leader clustering (Mash-screen / UCLUST style) over MinHash
     signatures: sequences are processed in input order in device-sized
-    waves; each query joins the nearest existing cluster representative
-    within the Jaccard threshold (ties to the earliest rep), else
-    becomes a new representative.
+    waves; each query joins the nearest cluster representative (ties
+    to the earliest) among those that existed at the START of its wave,
+    else — if no such representative is within the Jaccard threshold —
+    it is matched against leaders created earlier in its OWN wave, and
+    failing that becomes a new representative.
 
     Semantics vs the connected-components method: single-link chains
     through intermediate genomes do NOT merge clusters here (each
@@ -280,7 +284,13 @@ def cluster_greedy_from_signatures(signatures, threshold_jaccard, N):
     For clade-structured inputs the outputs coincide; when they differ,
     this method over-splits, which is the safe direction for design
     (every cluster is still designed in full — at worst more probes).
-    O(n x n_clusters) total distance evaluations.
+    A BORDERLINE query — within the threshold of a pre-wave
+    representative but nearer to a leader created in its own wave —
+    takes the pre-wave representative, so its cluster membership can
+    depend on the wave width; every assignment is still within the
+    threshold of its representative, which is the property design
+    correctness rests on.  O(n x n_clusters) total distance
+    evaluations.
 
     Returns a list of index lists, descending size order (stable).
     """

@@ -23,13 +23,18 @@ class PoolTableError(ValueError):
 
 
 def _tsv_rows(fn):
-    """Yield (row_number, fields) for each line of a TSV file."""
+    """Yield (row_number, fields) for each line of a TSV file.
+
+    Trailing empty fields are dropped (a data row ending in a tab, or
+    carrying a stray '\\r', parses the same as without — matching the
+    line.rstrip().split('\\t') behavior of the tools that produce
+    these files)."""
     with open(fn, newline="") as f:
         for rownum, fields in enumerate(csv.reader(f, delimiter="\t")):
-            # csv leaves trailing '\r' handling to us only on odd
-            # files; strip whitespace-only padding from the last field
             if fields and fields[-1].endswith("\r"):
                 fields[-1] = fields[-1].rstrip("\r")
+            while fields and fields[-1] == "":
+                fields.pop()
             yield rownum, fields
 
 

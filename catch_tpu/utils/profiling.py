@@ -13,6 +13,7 @@ lives in PROFILE.md at the repo root.
 import contextlib
 import logging
 import os
+import threading
 
 logger = logging.getLogger(__name__)
 
@@ -22,20 +23,26 @@ _captured = set()
 # pipeline, the designer's filter loop) report wall-clock here in
 # addition to any per-object stats, so an end-to-end CLI run can be
 # broken down without threading a stats object through every layer.
-# Benchmarks reset it around a run and snapshot afterwards.
+# Benchmarks reset it around a run and snapshot afterwards.  Lock-
+# protected: the designer's group pipeline reports from worker
+# threads, and an unlocked read-modify-write would drop updates.
 phase_seconds = {}
+_phase_lock = threading.Lock()
 
 
 def add_phase(key, seconds):
-    phase_seconds[key] = phase_seconds.get(key, 0.0) + seconds
+    with _phase_lock:
+        phase_seconds[key] = phase_seconds.get(key, 0.0) + seconds
 
 
 def reset_phases():
-    phase_seconds.clear()
+    with _phase_lock:
+        phase_seconds.clear()
 
 
 def snapshot_phases():
-    return {k: round(v, 2) for k, v in phase_seconds.items()}
+    with _phase_lock:
+        return {k: round(v, 2) for k, v in phase_seconds.items()}
 
 
 def enable_compilation_cache(path=None):

@@ -479,6 +479,29 @@ class TestProbeDesigner:
         assert stats["groups_device"] + stats["groups_host"] == \
             len(groups)
 
+    def test_max_num_processes_one_disables_pipeline(self, monkeypatch):
+        """--max-num-processes 1 must mean serial: the pipelined path
+        may not run (it floors its pool at 2 workers)."""
+        from catch_tpu.filters import base as filter_base
+        monkeypatch.setattr(filter_base, "_max_num_processes", 1)
+        groups = [[Genome.from_one_seq("ACGTACGTACGTACGTACGTACGT")]
+                  for _ in range(3)]
+        probes = [cp.make_candidate_probes_from_sequences(
+            [g[0].seqs[0]], probe_length=8, probe_stride=4)
+            for g in groups]
+        filters = [DuplicateFilter(),
+                   SetCoverFilter(mismatches=0, lcf_thres=8,
+                                  kmer_probe_map_k=4)]
+        pd = ProbeDesigner(groups, filters, probe_length=8,
+                           probe_stride=4)
+
+        def boom(*a, **k):
+            raise AssertionError("pipeline must not run at cap 1")
+
+        monkeypatch.setattr(pd, "_filter_groups_pipelined", boom)
+        out = pd._pass_through_filters(probes, groups, filters)
+        assert len(out) == 3
+
     def test_adapter_filter_not_group_local(self):
         af = AdapterFilter(("AT", "CG"), ("GG", "TT"), mismatches=0,
                            lcf_thres=6)

@@ -174,6 +174,18 @@ class TestPoolProbesIO:
         assert lines[0] == "dataset\tmismatches\tcover_extension"
         assert len(lines) == len(probe_counts) + 1
 
+    def test_trailing_tab_rows_parse(self, tmp_path):
+        # Reference-tool TSVs sometimes end rows with a tab; parsing
+        # must match line.rstrip().split('\t') behavior
+        f = tmp_path / "counts.tsv"
+        f.write_text("dataset\tmismatches\tcover_extension\t"
+                     "num_probes\nd1\t2\t10\t100\t\nd1\t3\t20\t90\n")
+        names, counts = pool_probes_io.read_table_of_probe_counts(
+            str(f))
+        assert names == ("mismatches", "cover_extension")
+        assert counts["d1"][(2.0, 10.0)] == 100
+        assert counts["d1"][(3.0, 20.0)] == 90
+
     def test_weights_missing_dataset(self, tmp_path):
         wf = tmp_path / "w.tsv"
         wf.write_text("dataset\tweight\nd1\t1.0\n")

@@ -448,6 +448,9 @@ class TestOverflowAndRetryPaths:
         trigger the exact full-searchsorted re-dispatch — output
         identical.  _LK_ROUNDS=0 makes every nonempty bucket
         overflow."""
+        # rounds is a static jit argument read from this global at
+        # call time, so the patch reaches the compiled kernel (0
+        # rounds -> invalid ranges the escalation must overwrite)
         monkeypatch.setattr(scan_instance, "_LK_ROUNDS", 0)
         rng = np.random.default_rng(43)
         self._parity(_corpus(rng, 4, 1400))
