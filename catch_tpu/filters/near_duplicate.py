@@ -74,6 +74,12 @@ class NearDuplicateFilter(BaseFilter):
         row_of = {p: i for i, p in enumerate(unique)}
         excluded = np.zeros(len(unique), dtype=bool)
         included = np.zeros(len(unique), dtype=bool)
+        # Rows whose fate is still open: the only rows a query can
+        # act on (it excludes not-yet-included neighbors), so the
+        # lookup skips distance checks for everything else — without
+        # this, dense groups re-evaluate every already-excluded
+        # near-duplicate on every query (superlinear).
+        active = np.ones(len(unique), dtype=bool)
         to_include = []
         for p in input_sorted:
             i = row_of[p]
@@ -82,8 +88,10 @@ class NearDuplicateFilter(BaseFilter):
                 continue
             to_include.append(p)
             included[i] = True
-            nbr = batched.neighbors_of(i)
-            excluded[nbr[~included[nbr]]] = True
+            active[i] = False
+            nbr = batched.neighbors_of(i, keep=active)
+            excluded[nbr] = True
+            active[nbr] = False
 
         assert int(included.sum() + excluded.sum()) == len(input_sorted)
         assert not np.any(included & excluded)

@@ -449,8 +449,18 @@ class BatchedNearNeighbor:
             c = lut[b]
             for j in range(k):
                 acc = acc * np.uint64(size) + c[:, j:j + n]
+            # Per-row unique, vectorized (a per-row np.unique loop was
+            # ~5 s per 280k-probe group): sort rows, mask repeats,
+            # slice the row-major compaction per row
+            sa = np.sort(acc, axis=1)
+            keepm = np.ones(sa.shape, dtype=bool)
+            keepm[:, 1:] = sa[:, 1:] != sa[:, :-1]
+            counts = keepm.sum(axis=1)
+            flat = sa[keepm]
+            ends = np.cumsum(counts)
+            starts_r = ends - counts
             for row, i in enumerate(idxs):
-                vals_parts[i] = np.unique(acc[row])
+                vals_parts[i] = flat[starts_r[row]:ends[row]]
         offs = np.zeros(self.U + 1, dtype=np.int64)
         for i, v in enumerate(vals_parts):
             offs[i + 1] = offs[i] + len(v)
@@ -466,7 +476,15 @@ class BatchedNearNeighbor:
         v, o = self._kset_vals, self._kset_offs
         q = v[o[qi]:o[qi + 1]]
         sizes = o[cand + 1] - o[cand]
-        flat = np.concatenate([v[o[c]:o[c + 1]] for c in cand])
+        # Gather all candidates' k-mer values with one fancy index
+        # (a per-candidate Python slice loop dominated dense-group
+        # sweeps)
+        starts = o[cand]
+        total = int(sizes.sum())
+        idx = np.repeat(
+            starts - np.concatenate(([0], np.cumsum(sizes)[:-1])),
+            sizes) + np.arange(total, dtype=np.int64)
+        flat = v[idx]
         pos = np.searchsorted(q, flat)
         hit = (pos < len(q)) & (q[np.minimum(pos, len(q) - 1)] == flat)
         bounds = np.concatenate([[0], np.cumsum(sizes)])
@@ -491,15 +509,26 @@ class BatchedNearNeighbor:
 
     # -- query ---------------------------------------------------------
 
-    def neighbors_of(self, qi):
+    def neighbors_of(self, qi, keep=None):
         """Indices of stored points within dist_thres of point qi
-        (excluding qi itself) — the batched ``query``."""
+        (excluding qi itself) — the batched ``query``.
+
+        `keep` (optional bool[U]) pre-filters candidates before the
+        exact distance evaluation; rows with keep=False are never
+        reported.  Callers that only act on a known subset (the
+        near-duplicate sweep only excludes still-active rows) pass it
+        so dense buckets don't re-pay distance checks for rows whose
+        fate is already decided — that re-checking made the sweep
+        superlinear in dense groups.
+        """
         parts = []
         for order, grp_of_row, bounds in self._tables:
             g = grp_of_row[qi]
             parts.append(order[bounds[g]:bounds[g + 1]])
         cand = np.unique(np.concatenate(parts))
         cand = cand[cand != qi]
+        if keep is not None and len(cand):
+            cand = cand[keep[cand]]
         if len(cand) == 0:
             return cand
         d = self._dist_batch(qi, cand)
